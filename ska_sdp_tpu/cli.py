@@ -1,0 +1,154 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (``/root/reference/app/Main.hs:17-78``):
+visibility-count cap, full-dataset switch, backend/debug selection, input
+directory, output file, old-gridder toggle, debug dump flags — adapted to the
+TPU framework (backends: tpu | cpu | oracle-precision double).
+
+Examples:
+    python -m ska_sdp_tpu.cli --mode aw  -i data/ -n 5000 -o out.h5
+    python -m ska_sdp_tpu.cli --mode w   -i data/ --all -dphases
+    python -m ska_sdp_tpu.cli --make-data data/ --nant 16 --ntime 24
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ska_sdp_tpu", description="TPU-native SKA-SDP gridding/imaging"
+    )
+    p.add_argument("-n", type=int, default=None, help="visibility count cap")
+    p.add_argument("--all", action="store_true", help="use every visibility")
+    p.add_argument("-i", "--input-dir", default="data", help="input directory")
+    p.add_argument("-o", "--output", default=None, help="output .h5 (/img)")
+    p.add_argument(
+        "--mode", choices=["aw", "w", "simple"], default="aw",
+        help="imaging pipeline (aw: AW-projection, w: w-projection, simple)",
+    )
+    p.add_argument(
+        "--backend", choices=["tpu", "cpu"], default=None,
+        help="device backend (default: whatever JAX selects)",
+    )
+    p.add_argument(
+        "--precision", choices=["single", "double"], default="single",
+        help="single=complex64 (TPU), double=complex128 (CPU parity)",
+    )
+    p.add_argument("-old", "--old", action="store_true", help="old gridder path")
+    p.add_argument(
+        "-dphases", "--dump-phases", action="store_true",
+        help="print per-phase wall-clock timings",
+    )
+    p.add_argument(
+        "--trace-dir", default=None, help="write jax.profiler traces here"
+    )
+    p.add_argument("--theta", type=float, default=0.008)
+    p.add_argument("--lam", type=int, default=300000)
+    # synthetic-data generation
+    p.add_argument("--make-data", metavar="DIR", default=None)
+    p.add_argument("--nant", type=int, default=16)
+    p.add_argument("--ntime", type=int, default=24)
+    p.add_argument("--nw", type=int, default=16)
+    p.add_argument("--qpx", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.backend == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.precision == "double":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from .config import GridParams, ImagingConfig
+    from .utils.timing import PhaseTimer
+
+    timer = PhaseTimer(
+        enabled=args.dump_phases or None if args.dump_phases else None,
+        trace_dir=args.trace_dir,
+    )
+    if args.dump_phases:
+        timer.enabled = True
+
+    if args.make_data:
+        from .io.synthetic import SyntheticConfig, generate_dataset
+
+        cfg = SyntheticConfig(
+            theta=args.theta, lam=args.lam, nant=args.nant,
+            ntime=args.ntime, nw_planes=args.nw, qpx=args.qpx,
+        )
+        paths, obs = generate_dataset(args.make_data, cfg)
+        print(f"wrote {paths} ({obs['n']} visibilities)")
+        return 0
+
+    cfg = ImagingConfig(
+        grid=GridParams(theta=args.theta, lam=args.lam),
+        precision_name=args.precision,
+        n_vis=None if args.all else args.n,
+        use_old_path=args.old,
+    )
+    vis_path = os.path.join(args.input_dir, "vis.h5")
+    wkern_path = os.path.join(args.input_dir, "wkern.h5")
+    akern_path = os.path.join(args.input_dir, "akern.h5")
+
+    print(time.strftime("%Y-%m-%d %H:%M:%S"), "start imaging", flush=True)
+    from .models import dataset as ds
+
+    if args.mode == "aw":
+        mx, _ = ds.aw_gridding(
+            wkern_path, akern_path, vis_path, n=cfg.n_vis,
+            outfile=args.output, old=args.old, config=cfg, timer=timer,
+        )
+    elif args.mode == "w":
+        mx, _ = ds.w_gridding(
+            wkern_path, vis_path, n=cfg.n_vis, outfile=args.output,
+            config=cfg, timer=timer,
+        )
+    else:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .models.imaging import do_imaging, simple_imaging
+
+        data = ds.load_vis_data(vis_path)
+        n = cfg.n_vis or data.vis.shape[0]
+        prec = cfg.precision
+        from .ops import uvw_lambda
+
+        uvw0 = uvw_lambda(data.frequency, jnp.asarray(data.uvw[:n], prec.real))
+        res = do_imaging(
+            cfg.grid.theta,
+            cfg.grid.lam,
+            uvw0,
+            jnp.asarray(data.antenna1[:n]),
+            jnp.asarray(data.antenna2[:n]),
+            jnp.asarray(data.time[:n], prec.real),
+            data.frequency,
+            jnp.asarray(data.vis[:n], prec.complex),
+            simple_imaging,
+        )
+        mx = float(res.pmax)
+        if args.output:
+            from .io import h5, schema
+
+            h5.create_file(args.output)
+            h5.write_dataset(
+                args.output, schema.IMG_DATASET, np.asarray(res.image)
+            )
+    print(f"image max: {mx}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

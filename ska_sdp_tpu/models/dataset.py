@@ -1,0 +1,228 @@
+"""End-to-end dataset driver: HDF5 in → AW/w-projection imaging → HDF5 out.
+
+TPU-native rebuild of the reference's L6 layer
+(``/root/reference/src/ImageDataset.hs:29-148`` ``aw_gridding`` +
+``getAKernels``/``getWKernels``): ingest visibilities and kernel banks,
+preprocess uvw, run the imaging pipeline under one ``jax.jit``, Hermitian-
+complete, inverse-FFT, return the dirty image and its maximum, optionally
+writing ``/img`` back to HDF5.
+
+Host/device split: all HDF5 + kernel selection + sorting happens on the host
+with numpy; the single jitted device program covers uvw scaling → weighting →
+mirroring → gridding → hermitian → ifft (the reference JITs the same region
+via its ``run`` backend injection, ``ImageDataset.hs:76-77``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ImagingConfig
+from ..io import h5, schema
+from ..ops import (
+    convgrid_wproj,
+    doweight,
+    find_closest,
+    ifft_centered,
+    make_grid_hermitian,
+    mirror_uvw,
+    uvw_lambda,
+)
+from ..utils.timing import PhaseTimer
+from .imaging import aw_imaging
+
+
+class VisData(NamedTuple):
+    vis: np.ndarray        # [n] complex
+    uvw: np.ndarray        # [n, 3] float (metres)
+    antenna1: np.ndarray   # [n] int64
+    antenna2: np.ndarray   # [n] int64
+    time: np.ndarray       # [n] float
+    frequency: float
+
+
+def load_vis_data(datfile: str) -> VisData:
+    """Read the /vis tree (reference readVis/readBaselines/readSource,
+    ``ImageDataset.hs:86-106``); the rank-3 vis block flattens to [n]."""
+    vis = h5.read_dataset(datfile, schema.VIS_VIS).reshape(-1)
+    uvw = h5.read_dataset(datfile, schema.VIS_UVW)
+    a1 = h5.read_dataset(datfile, schema.VIS_ANTENNA1)
+    a2 = h5.read_dataset(datfile, schema.VIS_ANTENNA2)
+    t = h5.read_dataset(datfile, schema.VIS_TIME)
+    f = h5.read_dataset(datfile, schema.VIS_FREQUENCY).reshape(-1)
+    return VisData(vis, uvw, a1, a2, t, float(f[0]))
+
+
+def _closest(sorted_pairs, x: float) -> str:
+    vals = [v for v, _ in sorted_pairs]
+    idx = int(np.argmin([abs(v - x) for v in vals]))
+    return sorted_pairs[idx][1]
+
+
+def get_akernels(afile: str, theta: float, t: float, f: float) -> np.ndarray:
+    """Stack per-antenna A-kernels at the closest time & frequency → [nant,s,s].
+
+    Reference ``getAKernels`` (``ImageDataset.hs:108-133``).  Note: the
+    reference accidentally searches the *time* list when picking the closest
+    frequency (``ImageDataset.hs:125`` uses tsSorted); we search the actual
+    frequency list — a deliberate bug-fix divergence.
+    """
+    ants = schema.parse_sorted(h5.list_group(afile, schema.akern_group(theta)))
+    a0 = ants[0][1]
+    times = schema.parse_sorted(
+        h5.list_group(afile, f"{schema.akern_group(theta)}/{a0}")
+    )
+    closest_t = _closest(times, t)
+    freqs = schema.parse_sorted(
+        h5.list_group(afile, f"{schema.akern_group(theta)}/{a0}/{closest_t}")
+    )
+    closest_f = _closest(freqs, f)
+    names = [
+        schema.akern_dataset(theta, ant, closest_t, closest_f) for _, ant in ants
+    ]
+    return h5.read_datasets_stacked(afile, names)
+
+
+def get_wkernels(wfile: str, theta: float):
+    """Load the w-kernel bank sorted by plane center → ([nw,qpx,qpx,s,s], [nw]).
+
+    Reference ``getWKernels`` (``ImageDataset.hs:136-148``).
+    """
+    wbins = schema.parse_sorted(h5.list_group(wfile, schema.wkern_group(theta)))
+    names = [schema.wkern_dataset(theta, name) for _, name in wbins]
+    bank = h5.read_datasets_stacked(wfile, names)
+    centers = np.array([v for v, _ in wbins], dtype=np.float64)
+    return bank, centers
+
+
+@partial(jax.jit, static_argnames=("theta", "lam", "chunk"))
+def _aw_pipeline(theta, lam, wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, chunk):
+    """The jitted device program: preprocess → AW grid → hermitian → image."""
+    uvw0 = uvw_lambda(f, uvw)
+    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
+    uvw1, vis1 = mirror_uvw(uvw0, vis)
+    src = (a1, a2, ts, f)
+    guv = aw_imaging(
+        theta, lam, wkerns, wbins, akerns, uvw1, src, wt * vis1, chunk=chunk
+    )
+    img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
+    return img, jnp.max(img)
+
+
+@partial(jax.jit, static_argnames=("theta", "lam", "chunk"))
+def _wproj_pipeline(theta, lam, bank_conj, wbins, uvw, f, vis, chunk):
+    """w-projection-only device program (headline bench config)."""
+    uvw0 = uvw_lambda(f, uvw)
+    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
+    uvw1, vis1 = mirror_uvw(uvw0, vis)
+    n = int(round(theta * lam))
+    wbin = find_closest(wbins, uvw1[:, 2])
+    guv = convgrid_wproj(
+        bank_conj,
+        jnp.zeros((n, n), vis.dtype),
+        uvw1 / lam,
+        wbin,
+        wt * vis1,
+        chunk=chunk,
+    )
+    img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
+    return img, jnp.max(img)
+
+
+def aw_gridding(
+    wfile: str,
+    afile: str,
+    datfile: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    old: bool = False,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+):
+    """Full AW-projection imaging run (reference ``aw_gridding``,
+    ``ImageDataset.hs:29-83``).  Returns (image max, image ndarray).
+
+    ``old`` selects the reference's convgrid3 scheduling variant; our batched
+    gridder is numerically identical for both, so it only changes logging.
+    """
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/akern"):
+        akerns = get_akernels(afile, theta, float(data.time[0]), data.frequency)
+    with timer.phase("ingest/wkern"):
+        wkerns, wbins = get_wkernels(wfile, theta)
+
+    n = n if n is not None else data.vis.shape[0]
+    with timer.phase("h2d+compile+grid+fft"):
+        img, mx = _aw_pipeline(
+            theta,
+            lam,
+            jnp.asarray(wkerns, prec.complex),
+            jnp.asarray(wbins, prec.real),
+            jnp.asarray(akerns, prec.complex),
+            jnp.asarray(data.uvw[:n], prec.real),
+            jnp.asarray(data.antenna1[:n], jnp.int32),
+            jnp.asarray(data.antenna2[:n], jnp.int32),
+            jnp.asarray(data.time[:n], prec.real),
+            jnp.asarray(data.frequency, prec.real),
+            jnp.asarray(data.vis[:n], prec.complex),
+            chunk=min(8192, max(256, n)),
+        )
+        img = np.asarray(img)
+        mx = float(mx)
+
+    if outfile is not None:
+        with timer.phase("write/img"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, schema.IMG_DATASET, img.astype(np.float64))
+    return mx, img
+
+
+def w_gridding(
+    wfile: str,
+    datfile: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+):
+    """w-projection-only imaging run (no A-kernels): the headline benchmark
+    configuration (BASELINE.md config #2)."""
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/wkern"):
+        wkerns, wbins = get_wkernels(wfile, theta)
+
+    n = n if n is not None else data.vis.shape[0]
+    with timer.phase("h2d+compile+grid+fft"):
+        img, mx = _wproj_pipeline(
+            theta,
+            lam,
+            jnp.conj(jnp.asarray(wkerns, prec.complex)),
+            jnp.asarray(wbins, prec.real),
+            jnp.asarray(data.uvw[:n], prec.real),
+            jnp.asarray(data.frequency, prec.real),
+            jnp.asarray(data.vis[:n], prec.complex),
+            chunk=min(8192, max(256, n)),
+        )
+        img = np.asarray(img)
+        mx = float(mx)
+
+    if outfile is not None:
+        with timer.phase("write/img"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, schema.IMG_DATASET, img.astype(np.float64))
+    return mx, img
