@@ -1,0 +1,49 @@
+"""Hot-kernel implementations and dispatch.
+
+``wproj_gridder`` is the performance-critical scatter (SURVEY §2 C5): it
+dispatches to the best available implementation for the current backend —
+the Pallas tile-privatized TPU kernel when available, otherwise the pure-XLA
+chunked scatter from ``ops.gridding``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.gridding import convgrid_wproj
+
+_IMPL = os.environ.get("SKA_SDP_TPU_GRIDDER", "auto")  # auto|xla|pallas
+
+
+def _default_backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
+
+def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384):
+    """w-projection scatter: returns the [H, W] uv-grid.
+
+    Args:
+      bank_conj: [nw, qpx, qpx, gh, gw] pre-conjugated kernel bank.
+      grid_shape: (H, W) static ints.
+      p: [n, 3] scaled baselines (±0.5 box).
+      wbin: [n] int32 kernel-plane index.
+      vis: [n] complex visibilities.
+    """
+    impl = _IMPL
+    if impl == "auto":
+        impl = "pallas" if _default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        try:
+            from .wproj_pallas import wproj_gridder_pallas
+
+            return wproj_gridder_pallas(bank_conj, grid_shape, p, wbin, vis)
+        except ImportError:
+            impl = "xla"
+    guv = jnp.zeros(grid_shape, vis.dtype)
+    return convgrid_wproj(bank_conj, guv, p, wbin, vis, chunk=chunk)

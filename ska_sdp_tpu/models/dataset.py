@@ -33,6 +33,7 @@ from ..ops import (
     mirror_uvw,
     uvw_lambda,
 )
+from ..utils.cplx import complex_safe_jit
 from ..utils.timing import PhaseTimer
 from .imaging import aw_imaging
 
@@ -100,9 +101,13 @@ def get_wkernels(wfile: str, theta: float):
     return bank, centers
 
 
-@partial(jax.jit, static_argnames=("theta", "lam", "chunk"))
-def _aw_pipeline(theta, lam, wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, chunk):
-    """The jitted device program: preprocess → AW grid → hermitian → image."""
+@partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
+def _aw_pipeline(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *, theta, lam, chunk):
+    """The jitted device program: preprocess → AW grid → hermitian → image.
+
+    Complex inputs cross the boundary as real pairs (see utils.cplx) because
+    TPU PJRT transfer paths may not support complex dtypes.
+    """
     uvw0 = uvw_lambda(f, uvw)
     wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
@@ -114,8 +119,8 @@ def _aw_pipeline(theta, lam, wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, chu
     return img, jnp.max(img)
 
 
-@partial(jax.jit, static_argnames=("theta", "lam", "chunk"))
-def _wproj_pipeline(theta, lam, bank_conj, wbins, uvw, f, vis, chunk):
+@partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
+def _wproj_pipeline(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk):
     """w-projection-only device program (headline bench config)."""
     uvw0 = uvw_lambda(f, uvw)
     wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
@@ -163,18 +168,19 @@ def aw_gridding(
 
     n = n if n is not None else data.vis.shape[0]
     with timer.phase("h2d+compile+grid+fft"):
+        # complex data stays numpy until the complex-safe jit boundary
         img, mx = _aw_pipeline(
-            theta,
-            lam,
-            jnp.asarray(wkerns, prec.complex),
-            jnp.asarray(wbins, prec.real),
-            jnp.asarray(akerns, prec.complex),
-            jnp.asarray(data.uvw[:n], prec.real),
-            jnp.asarray(data.antenna1[:n], jnp.int32),
-            jnp.asarray(data.antenna2[:n], jnp.int32),
-            jnp.asarray(data.time[:n], prec.real),
-            jnp.asarray(data.frequency, prec.real),
-            jnp.asarray(data.vis[:n], prec.complex),
+            np.asarray(wkerns, prec.np_complex),
+            np.asarray(wbins, prec.np_real),
+            np.asarray(akerns, prec.np_complex),
+            np.asarray(data.uvw[:n], prec.np_real),
+            np.asarray(data.antenna1[:n], np.int32),
+            np.asarray(data.antenna2[:n], np.int32),
+            np.asarray(data.time[:n], prec.np_real),
+            np.asarray(data.frequency, prec.np_real),
+            np.asarray(data.vis[:n], prec.np_complex),
+            theta=theta,
+            lam=lam,
             chunk=min(8192, max(256, n)),
         )
         img = np.asarray(img)
@@ -209,13 +215,13 @@ def w_gridding(
     n = n if n is not None else data.vis.shape[0]
     with timer.phase("h2d+compile+grid+fft"):
         img, mx = _wproj_pipeline(
-            theta,
-            lam,
-            jnp.conj(jnp.asarray(wkerns, prec.complex)),
-            jnp.asarray(wbins, prec.real),
-            jnp.asarray(data.uvw[:n], prec.real),
-            jnp.asarray(data.frequency, prec.real),
-            jnp.asarray(data.vis[:n], prec.complex),
+            np.conj(np.asarray(wkerns, prec.np_complex)),
+            np.asarray(wbins, prec.np_real),
+            np.asarray(data.uvw[:n], prec.np_real),
+            np.asarray(data.frequency, prec.np_real),
+            np.asarray(data.vis[:n], prec.np_complex),
+            theta=theta,
+            lam=lam,
             chunk=min(8192, max(256, n)),
         )
         img = np.asarray(img)

@@ -135,6 +135,48 @@ def grid_nearest(guv, p, vis):
     return guv.reshape(-1).at[idx].add(val).reshape(H, W)
 
 
+def _gather_scatter_scan(kern_lookup, guv, y0, x0, vis, idx_arrays, chunk):
+    """Stream chunks of visibilities: gather kernel → multiply → scatter-add.
+
+    The kernel gather happens INSIDE the scan body so peak memory is
+    O(chunk · gh · gw), never O(n · gh · gw) — the whole gridder streams
+    through HBM regardless of visibility count.
+
+    Args:
+      kern_lookup: fn(*chunked idx_arrays) → [c, gh, gw] kernel patches.
+      guv: [H, W] grid; y0/x0: [n] top-left targets; vis: [n] complex.
+      idx_arrays: per-vis int arrays consumed by kern_lookup.
+    """
+    H, W = guv.shape
+    (y0, x0, vis, *idx_arrays), nvalid = _pad_to_chunks(
+        [y0, x0, vis] + list(idx_arrays), chunk
+    )
+    valid = jnp.arange(y0.shape[0]) < nvalid
+    probe = kern_lookup(*(a[:1] for a in idx_arrays))
+    gh, gw = probe.shape[-2], probe.shape[-1]
+    di = jnp.arange(gh, dtype=jnp.int32)
+    dj = jnp.arange(gw, dtype=jnp.int32)
+
+    def body(g, args):
+        cy0, cx0, cvis, cvalid, *cidx = args
+        patch = cvis[:, None, None] * kern_lookup(*cidx)
+        yy = cy0[:, None, None] + di[None, :, None]
+        xx = cx0[:, None, None] + dj[None, None, :]
+        inb = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W) & cvalid[:, None, None]
+        idx = jnp.where(inb, yy * W + xx, 0)
+        val = jnp.where(inb, patch, 0).reshape(-1)
+        return g.at[idx.reshape(-1)].add(val), None
+
+    nchunks = y0.shape[0] // chunk
+    split = lambda a: a.reshape((nchunks, chunk) + a.shape[1:])
+    flat, _ = jax.lax.scan(
+        body,
+        guv.reshape(-1),
+        tuple(split(a) for a in [y0, x0, vis, valid] + list(idx_arrays)),
+    )
+    return flat.reshape(H, W)
+
+
 def convgrid(gcf, guv, p, vis, chunk: int = DEFAULT_CHUNK):
     """Scatter with a single oversampled kernel [qpx, qpx, gh, gw].
 
@@ -144,8 +186,10 @@ def convgrid(gcf, guv, p, vis, chunk: int = DEFAULT_CHUNK):
     qpx, _, gh, gw = gcf.shape
     H, W = guv.shape
     x, xf, y, yf = frac_coords((H, W), qpx, p)
-    patches = vis[:, None, None] * gcf[yf, xf]
-    return scatter_patches(guv, y - gh // 2, x - gw // 2, patches, chunk=chunk)
+    return _gather_scatter_scan(
+        lambda cyf, cxf: gcf[cyf, cxf],
+        guv, y - gh // 2, x - gw // 2, vis, (yf, xf), chunk,
+    )
 
 
 def convgrid_wproj(gcf_bank, guv, p, wbin, vis, chunk: int = DEFAULT_CHUNK):
@@ -158,8 +202,10 @@ def convgrid_wproj(gcf_bank, guv, p, wbin, vis, chunk: int = DEFAULT_CHUNK):
     nw, qpx, _, gh, gw = gcf_bank.shape
     H, W = guv.shape
     x, xf, y, yf = frac_coords((H, W), qpx, p)
-    patches = vis[:, None, None] * gcf_bank[wbin, yf, xf]
-    return scatter_patches(guv, y - gh // 2, x - gw // 2, patches, chunk=chunk)
+    return _gather_scatter_scan(
+        lambda cw, cyf, cxf: gcf_bank[cw, cyf, cxf],
+        guv, y - gh // 2, x - gw // 2, vis, (wbin, yf, xf), chunk,
+    )
 
 
 def convgrid_aw(
