@@ -37,7 +37,8 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384):
     """
     impl = _IMPL
     if impl == "auto":
-        impl = "pallas" if _default_backend() == "tpu" else "xla"
+        # "axon" is the remote-TPU PJRT plugin used in this environment
+        impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
     if impl == "pallas":
         try:
             from .wproj_pallas import wproj_gridder_pallas

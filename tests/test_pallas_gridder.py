@@ -1,0 +1,112 @@
+"""Pallas tile-privatized gridder vs the XLA scatter path (interpret mode).
+
+Runs the kernel through the Pallas interpreter on CPU — the same parity
+strategy the reference used between its interpreter and compiled backends
+(SURVEY §4).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ska_sdp_tpu import ops
+from ska_sdp_tpu.kernels.wproj_pallas import (
+    _fold_tiles,
+    wproj_gridder_pallas,
+)
+
+
+def _rand_cplx(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+
+
+class TestFold:
+    def test_fold_core_only(self, rng):
+        from ska_sdp_tpu.kernels.wproj_pallas import PAD, PADX, TX, TY
+
+        nty, ntx = 2, 2
+        tiles = np.zeros((nty, ntx, TY + PAD, TX + PADX), np.float32)
+        tiles[0, 0, 5, 7] = 1.0           # core element
+        tiles[0, 0, TY + 3, 11] = 2.0     # down halo → row TY+3
+        tiles[0, 0, 9, TX + 5] = 3.0      # right halo → col TX+5
+        tiles[0, 0, TY + 1, TX + 2] = 4.0 # corner → (TY+1, TX+2)
+        g = np.asarray(_fold_tiles(jnp.asarray(tiles), nty, ntx))
+        assert g[5, 7] == 1.0
+        assert g[TY + 3, 11] == 2.0
+        assert g[9, TX + 5] == 3.0
+        assert g[TY + 1, TX + 2] == 4.0
+        assert g.sum() == 10.0
+
+    def test_fold_overlap_adds(self, rng):
+        from ska_sdp_tpu.kernels.wproj_pallas import PAD, PADX, TX, TY
+
+        nty, ntx = 2, 2
+        tiles = np.zeros((nty, ntx, TY + PAD, TX + PADX), np.float32)
+        tiles[0, 0, TY + 2, 4] = 1.0      # down halo of tile (0,0)
+        tiles[1, 0, 2, 4] = 5.0           # core of tile (1,0), same cell
+        g = np.asarray(_fold_tiles(jnp.asarray(tiles), nty, ntx))
+        assert g[TY + 2, 4] == 6.0
+
+
+class TestPallasParity:
+    @pytest.mark.parametrize("n_grid,b", [(300, 500), (512, 300)])
+    def test_matches_xla_gridder(self, rng, n_grid, b):
+        nw, qpx, s = 4, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+
+        got = wproj_gridder_pallas(
+            bank, (n_grid, n_grid), p, wbin, vis, interpret=True
+        )
+        want = ops.convgrid_wproj(
+            bank, jnp.zeros((n_grid, n_grid), jnp.complex64), p, wbin, vis,
+            chunk=128,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_oob_patches_dropped(self, rng):
+        # visibilities at the very edge: partial patches must match the
+        # reference drop semantics, fully-outside patches contribute nothing
+        n_grid, b = 256, 64
+        nw, qpx, s = 2, 2, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p_edge = rng.uniform(0.47, 0.60, size=(b, 3))  # some beyond +0.5
+        p_edge[::2] *= -1
+        p = jnp.asarray(p_edge.astype(np.float32))
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+
+        got = wproj_gridder_pallas(
+            bank, (n_grid, n_grid), p, wbin, vis, interpret=True
+        )
+        want = ops.convgrid_wproj(
+            bank, jnp.zeros((n_grid, n_grid), jnp.complex64), p, wbin, vis,
+            chunk=16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_empty_input(self, rng):
+        n_grid = 256
+        nw, qpx, s = 2, 2, 7
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p = jnp.zeros((4, 3), jnp.float32)
+        wbin = jnp.zeros(4, jnp.int32)
+        vis = jnp.zeros(4, jnp.complex64)
+        got = wproj_gridder_pallas(
+            bank, (n_grid, n_grid), p, wbin, vis, interpret=True
+        )
+        assert float(jnp.abs(got).sum()) == 0.0
