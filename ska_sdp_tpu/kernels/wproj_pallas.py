@@ -106,7 +106,14 @@ def _kernel(starts_ref, recs_hbm, bank_re_ref, bank_im_ref,
         lo = jnp.maximum(start - b * CHUNK, 0)
         hi = jnp.minimum(end - b * CHUNK, CHUNK)
 
-        def vis_body(i, _):
+        UNROLL = 4
+
+        def vis_body(iu, _):
+            for u in range(UNROLL):
+                _vis_one(iu * UNROLL + u, lo, hi)
+            return 0
+
+        def _vis_one(i, lo, hi):
             @pl.when((i >= lo) & (i < hi))
             def _():
                 # records packed as f32 (indices are exact small ints)
@@ -117,24 +124,24 @@ def _kernel(starts_ref, recs_hbm, bank_re_ref, bank_im_ref,
                 vi = recs_s[4, i]
                 kr = bank_re_ref[k]
                 ki = bank_im_ref[k]
-                # complex multiply, planes stacked: P = [[re], [im]]
-                P = jnp.concatenate(
-                    [vr * kr - vi * ki, vr * ki + vi * kr], axis=0
-                )  # [2·gh, gw]
+                pr = vr * kr - vi * ki
+                pi = vr * ki + vi * kr
+                # Mosaic requires (8,128)-aligned dynamic VMEM offsets: the
+                # store targets an aligned (SH, SW) block and the residual
+                # (r, c) placement happens in-register with two dynamic
+                # vector rotates per plane (exact, single-pass VPU ops).
                 r = jax.lax.rem(y0, jnp.int32(8))
                 cc = jax.lax.rem(x0, jnp.int32(128))
                 y0a = pl.multiple_of(y0 - r, 8)
                 x0a = pl.multiple_of(x0 - cc, 128)
-                S, T = _shift_mats(gh, gw, r, cc)
-                mid = jnp.dot(P, T, preferred_element_type=jnp.float32)
-                wide = jnp.dot(S, mid, preferred_element_type=jnp.float32)
-                # acc planes: [0]=re, [1]=im, each [TYP, TXP]
-                acc[0, pl.ds(y0a, SH), pl.ds(x0a, SW)] += wide[:SH]
-                acc[1, pl.ds(y0a, SH), pl.ds(x0a, SW)] += wide[SH:]
+                pr = jnp.pad(pr, ((0, SH - gh), (0, SW - gw)))
+                pi = jnp.pad(pi, ((0, SH - gh), (0, SW - gw)))
+                pr = pltpu.roll(pltpu.roll(pr, r, 0), cc, 1)
+                pi = pltpu.roll(pltpu.roll(pi, r, 0), cc, 1)
+                acc[0, pl.ds(y0a, SH), pl.ds(x0a, SW)] += pr
+                acc[1, pl.ds(y0a, SH), pl.ds(x0a, SW)] += pi
 
-            return 0
-
-        jax.lax.fori_loop(0, CHUNK, vis_body, 0, unroll=False)
+        jax.lax.fori_loop(0, CHUNK // UNROLL, vis_body, 0, unroll=False)
         return 0
 
     nblocks = jnp.where(
