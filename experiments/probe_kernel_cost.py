@@ -32,6 +32,30 @@ def make_kernel(gh, gw, variant):
             lo = jnp.maximum(start - b * wp.CHUNK, 0)
             hi = jnp.minimum(end - b * wp.CHUNK, wp.CHUNK)
             def vis_body(i, _):
+                if variant == "empty":
+                    return 0
+                if variant == "scalar1":
+                    acc[0, :8, :128] += recs_s[3, i]
+                    return 0
+                if variant == "novalid":
+                    y0v = recs_s[0, i].astype(jnp.int32)
+                    x0v = recs_s[1, i].astype(jnp.int32)
+                    kv = recs_s[2, i].astype(jnp.int32)
+                    vrv = recs_s[3, i]; viv = recs_s[4, i]
+                    rv = jax.lax.rem(y0v, jnp.int32(8))
+                    ccv = jax.lax.rem(x0v, jnp.int32(128))
+                    y0av = pl.multiple_of(y0v - rv, 8)
+                    x0av = pl.multiple_of(x0v - ccv, 128)
+                    krv = bank_re_ref[kv]; kiv = bank_im_ref[kv]
+                    prv = vrv * krv - viv * kiv
+                    piv = vrv * kiv + viv * krv
+                    prv = jnp.pad(prv, ((0, SH-gh), (0, SW-gw)))
+                    piv = jnp.pad(piv, ((0, SH-gh), (0, SW-gw)))
+                    prv = pltpu.roll(pltpu.roll(prv, rv, 0), ccv, 1)
+                    piv = pltpu.roll(pltpu.roll(piv, rv, 0), ccv, 1)
+                    acc[0, pl.ds(y0av, SH), pl.ds(x0av, SW)] += prv
+                    acc[1, pl.ds(y0av, SH), pl.ds(x0av, SW)] += piv
+                    return 0
                 @pl.when((i >= lo) & (i < hi))
                 def _():
                     y0 = recs_s[0, i].astype(jnp.int32)
