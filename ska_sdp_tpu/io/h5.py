@@ -49,12 +49,14 @@ def create_file(path):
     return _resolve().create_file(path)
 
 
-def read_dataset(path, name):
-    return _resolve().read_dataset(path, name)
+def read_dataset(path, name, dtype=None):
+    """Read a dataset; ``dtype`` selects the typed entry point (the
+    reference's readDatasetComplex/Double/Int64 analog)."""
+    return _resolve().read_dataset(path, name, dtype=dtype)
 
 
-def read_datasets_stacked(path, names):
-    return _resolve().read_datasets_stacked(path, names)
+def read_datasets_stacked(path, names, dtype=None):
+    return _resolve().read_datasets_stacked(path, names, dtype=dtype)
 
 
 def write_dataset(path, name, data):

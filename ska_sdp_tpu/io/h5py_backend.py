@@ -24,12 +24,13 @@ def create_file(path: str) -> None:
         pass
 
 
-def read_dataset(path: str, name: str) -> np.ndarray:
+def read_dataset(path: str, name: str, dtype=None) -> np.ndarray:
     with h5py.File(fix_ext(path), "r") as f:
-        return np.asarray(f[name])
+        arr = np.asarray(f[name])
+    return arr if dtype is None else arr.astype(dtype)
 
 
-def read_datasets_stacked(path: str, names) -> np.ndarray:
+def read_datasets_stacked(path: str, names, dtype=None) -> np.ndarray:
     """Read a list of equal-shape datasets into one rank+1 array.
 
     Analog of the reference's single-buffer multi-read
@@ -37,7 +38,8 @@ def read_datasets_stacked(path: str, names) -> np.ndarray:
     """
     with h5py.File(fix_ext(path), "r") as f:
         arrs = [np.asarray(f[n]) for n in names]
-    return np.stack(arrs, axis=0)
+    out = np.stack(arrs, axis=0)
+    return out if dtype is None else out.astype(dtype)
 
 
 def write_dataset(path: str, name: str, data: np.ndarray) -> None:

@@ -50,12 +50,12 @@ class VisData(NamedTuple):
 def load_vis_data(datfile: str) -> VisData:
     """Read the /vis tree (reference readVis/readBaselines/readSource,
     ``ImageDataset.hs:86-106``); the rank-3 vis block flattens to [n]."""
-    vis = h5.read_dataset(datfile, schema.VIS_VIS).reshape(-1)
-    uvw = h5.read_dataset(datfile, schema.VIS_UVW)
-    a1 = h5.read_dataset(datfile, schema.VIS_ANTENNA1)
-    a2 = h5.read_dataset(datfile, schema.VIS_ANTENNA2)
-    t = h5.read_dataset(datfile, schema.VIS_TIME)
-    f = h5.read_dataset(datfile, schema.VIS_FREQUENCY).reshape(-1)
+    vis = h5.read_dataset(datfile, schema.VIS_VIS, dtype=np.complex128).reshape(-1)
+    uvw = h5.read_dataset(datfile, schema.VIS_UVW, dtype=np.float64)
+    a1 = h5.read_dataset(datfile, schema.VIS_ANTENNA1, dtype=np.int64)
+    a2 = h5.read_dataset(datfile, schema.VIS_ANTENNA2, dtype=np.int64)
+    t = h5.read_dataset(datfile, schema.VIS_TIME, dtype=np.float64)
+    f = h5.read_dataset(datfile, schema.VIS_FREQUENCY, dtype=np.float64).reshape(-1)
     return VisData(vis, uvw, a1, a2, t, float(f[0]))
 
 
@@ -86,7 +86,7 @@ def get_akernels(afile: str, theta: float, t: float, f: float) -> np.ndarray:
     names = [
         schema.akern_dataset(theta, ant, closest_t, closest_f) for _, ant in ants
     ]
-    return h5.read_datasets_stacked(afile, names)
+    return h5.read_datasets_stacked(afile, names, dtype=np.complex128)
 
 
 def get_wkernels(wfile: str, theta: float):
@@ -96,7 +96,7 @@ def get_wkernels(wfile: str, theta: float):
     """
     wbins = schema.parse_sorted(h5.list_group(wfile, schema.wkern_group(theta)))
     names = [schema.wkern_dataset(theta, name) for _, name in wbins]
-    bank = h5.read_datasets_stacked(wfile, names)
+    bank = h5.read_datasets_stacked(wfile, names, dtype=np.complex128)
     centers = np.array([v for v, _ in wbins], dtype=np.float64)
     return bank, centers
 
