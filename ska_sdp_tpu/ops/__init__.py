@@ -1,12 +1,22 @@
 from .coords import frac_coord, frac_coords, mirror_uvw, to_grid_cell, uvw_lambda
+from . import lowprec
 from .convolution import (
     akernel_spectra,
     aw_kernel,
     convolve2d,
+    convolve2d_cheap,
     make_aw_kernels_batched,
     wkernel_tap_spectra,
 )
-from .fourier import extract_mid, fft_centered, ifft_centered, next_pow2, pad_mid
+from .fourier import (
+    extract_mid,
+    fft_centered,
+    fft_pow2,
+    ifft_centered,
+    ifft_pow2,
+    next_pow2,
+    pad_mid,
+)
 from .gridding import (
     convgrid,
     convgrid_aw,
@@ -34,18 +44,22 @@ __all__ = [
     "convgrid_aw",
     "convgrid_wproj",
     "convolve2d",
+    "convolve2d_cheap",
     "degrid_wproj",
     "doweight",
     "extract_mid",
     "extract_oversampled",
     "fft_centered",
+    "fft_pow2",
     "find_closest",
     "frac_coord",
     "frac_coords",
     "gather_patches",
     "grid_nearest",
     "ifft_centered",
+    "ifft_pow2",
     "kernel_coordinates",
+    "lowprec",
     "make_aw_kernels_batched",
     "make_grid_hermitian",
     "mirror_uvw",

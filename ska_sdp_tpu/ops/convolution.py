@@ -55,6 +55,18 @@ def convolve2d(a1, a2):
     return _synth(_spec(a1, m) * _spec(a2, m), n, m)
 
 
+def convolve2d_cheap(a1, a2):
+    """Cheaper *circular* convolution variant: pads only to 2^⌈log2 n⌉.
+
+    Parity with reference ``convolve2dO`` (``src/Gridding.hs:779-792``),
+    used when kernels are known not to overflow the borders — wraparound
+    aliasing is accepted in exchange for a smaller transform.
+    """
+    n = a1.shape[-1]
+    m = next_pow2(n)
+    return _synth(_spec(a1, m) * _spec(a2, m), n, m)
+
+
 def aw_kernel(a1_kern, a2_kern, w_tap):
     """AW kernel for one (or a batch of) visibilities.
 

@@ -72,3 +72,26 @@ def next_pow2(x: int) -> int:
     while p < x:
         p *= 2
     return p
+
+
+def fft_pow2(img):
+    """Forward centered FFT with power-of-two zero-padding + center crop.
+
+    Parity with the reference's ``fft`` (``src/Gridding.hs:821-826``), which
+    pads to 2^⌈log2 n⌉ before transforming and extracts the original size.
+    On TPU, XLA's FFT handles arbitrary smooth sizes, so :func:`fft_centered`
+    is the production path; this variant exists for bit-level parity with
+    reference outputs.
+    """
+    n = img.shape[-1]
+    m = next_pow2(n)
+    return extract_mid(fft_centered(pad_mid(img, m)), n)
+
+
+def ifft_pow2(grid):
+    """Inverse analog of :func:`fft_pow2` (reference ``ifftO``-with-padding
+    composition; the reference's production ``ifft`` does NOT pad —
+    ``src/Gridding.hs:828-834`` — and neither does our ``ifft_centered``)."""
+    n = grid.shape[-1]
+    m = next_pow2(n)
+    return extract_mid(ifft_centered(pad_mid(grid, m)), n)

@@ -140,3 +140,62 @@ class TestVisCap:
         )
         assert img_small.shape == (imaging_config.grid.n,) * 2
         assert np.isfinite(mx_small)
+
+
+class TestOtherPipelines:
+    def test_w_cache_imaging_runs_and_matches_bank_path(self, rng):
+        # w_cache builds its own bank from rounded w bins; check it against
+        # manually building the same bank and gridding with convgrid_wproj.
+        import jax.numpy as jnp
+
+        from ska_sdp_tpu import KernelOptions, ops
+        from ska_sdp_tpu.models.imaging import w_cache_imaging
+
+        theta, lam = 0.05, 1280
+        opts = KernelOptions(qpx=2, npix_ff=64, npix_kern=9, wstep=50)
+        b = 40
+        uvw = np.column_stack(
+            [
+                rng.uniform(-0.3 * lam, 0.3 * lam, b),
+                rng.uniform(-0.3 * lam, 0.3 * lam, b),
+                rng.uniform(-120, 120, b),
+            ]
+        )
+        vis = rng.standard_normal(b) + 1j * rng.standard_normal(b)
+        got = w_cache_imaging(
+            theta, lam, jnp.asarray(uvw), None, jnp.asarray(vis), opts=opts,
+            chunk=16,
+        )
+
+        wstep = opts.wstep
+        roundedw = wstep * np.round(uvw[:, 2] / wstep)
+        minw = roundedw.min()
+        steps = int((roundedw.max() - minw) // wstep) + 1
+        centers = minw + wstep * np.arange(steps)
+        bank = ops.w_kernel_bank(theta, jnp.asarray(centers), opts)
+        wbin = ((roundedw - minw) // wstep).astype(np.int32)
+        n = int(round(theta * lam))
+        want = ops.convgrid_wproj(
+            bank, jnp.zeros((n, n), jnp.complex128), jnp.asarray(uvw) / lam,
+            jnp.asarray(wbin), jnp.asarray(vis), chunk=16,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+    def test_do_imaging_simple(self, rng):
+        import jax.numpy as jnp
+
+        from ska_sdp_tpu.models.imaging import do_imaging, simple_imaging
+
+        theta, lam = 0.05, 1280
+        b = 30
+        uvw = jnp.asarray(rng.uniform(-0.3 * lam, 0.3 * lam, (b, 3)))
+        vis = jnp.asarray(rng.standard_normal(b) + 1j * rng.standard_normal(b))
+        res = do_imaging(
+            theta, lam, uvw,
+            jnp.zeros(b, jnp.int32), jnp.ones(b, jnp.int32),
+            jnp.zeros(b), 1.0, vis, simple_imaging,
+        )
+        n = int(round(theta * lam))
+        assert res.image.shape == (n, n)
+        assert float(res.psf.max()) == pytest.approx(1.0)  # PSF normalized
+        assert np.isfinite(np.asarray(res.image)).all()

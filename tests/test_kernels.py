@@ -134,3 +134,47 @@ class TestAWKernels:
             ops.aw_kernel(jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(w))
         )
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestVariants:
+    def test_fft_pow2_equals_direct_on_pow2_sizes(self, rng):
+        from ska_sdp_tpu.ops import fft_centered, fft_pow2
+
+        import jax.numpy as jnp
+        a = jnp.asarray(rng.standard_normal((32, 32)) * (1 + 1j))
+        np.testing.assert_allclose(
+            np.asarray(fft_pow2(a)), np.asarray(fft_centered(a)), atol=1e-12
+        )
+
+    def test_convolve2d_cheap_matches_exact_for_compact_kernels(self, rng):
+        # kernels concentrated near the center don't wrap: the cheap
+        # (circular) variant agrees with the exact linear convolution
+        from ska_sdp_tpu.ops import convolve2d, convolve2d_cheap
+
+        import jax.numpy as jnp
+        n = 16
+        a = np.zeros((n, n), np.complex128)
+        b = np.zeros((n, n), np.complex128)
+        a[6:10, 6:10] = rng.standard_normal((4, 4))
+        b[7:9, 7:9] = rng.standard_normal((2, 2))
+        got = np.asarray(convolve2d_cheap(jnp.asarray(a), jnp.asarray(b)))
+        want = np.asarray(convolve2d(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_kernel_coordinate_pattern_options(self):
+        # pattern shift / 2x2 transform hooks (ref kernel_coordinates opts)
+        from ska_sdp_tpu import KernelOptions
+        from ska_sdp_tpu.ops import kernel_coordinates
+
+        base_l, base_m = kernel_coordinates(8, 0.1, KernelOptions())
+        l2, m2 = kernel_coordinates(
+            8, 0.1, KernelOptions(pat_hor_shift=3, pat_ver_shift=-2)
+        )
+        np.testing.assert_allclose(np.asarray(l2 - base_l), 3.0)
+        np.testing.assert_allclose(np.asarray(m2 - base_m), -2.0)
+        # transform matrix [[0,1],[1,0]] swaps l and m
+        l3, m3 = kernel_coordinates(
+            8, 0.1, KernelOptions(pat_trans_mat=(0.0, 1.0, 1.0, 0.0))
+        )
+        np.testing.assert_allclose(np.asarray(l3), np.asarray(base_m))
+        np.testing.assert_allclose(np.asarray(m3), np.asarray(base_l))
