@@ -105,6 +105,11 @@ def main(argv=None) -> int:
     print(time.strftime("%Y-%m-%d %H:%M:%S"), "start imaging", flush=True)
     from .models import dataset as ds
 
+    for f in (vis_path, wkern_path if args.mode in ("aw", "w") else vis_path):
+        if not os.path.exists(f):
+            print(f"error: input file not found: {f}", file=sys.stderr)
+            return 1
+
     if args.mode == "aw":
         mx, _ = ds.aw_gridding(
             wkern_path, akern_path, vis_path, n=cfg.n_vis,

@@ -25,7 +25,8 @@ def _default_backend() -> str:
         return "cpu"
 
 
-def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384):
+def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384,
+                  init=None):
     """w-projection scatter: returns the [H, W] uv-grid.
 
     Args:
@@ -34,6 +35,9 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384):
       p: [n, 3] scaled baselines (±0.5 box).
       wbin: [n] int32 kernel-plane index.
       vis: [n] complex visibilities.
+      init: optional [H, W] grid to accumulate into.  Under ``shard_map``
+        pass a device-varying zero grid (``lax.pcast(..., to='varying')``)
+        so the per-device scatter carry type-checks.
     """
     impl = _IMPL
     if impl == "auto":
@@ -43,8 +47,9 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384):
         try:
             from .wproj_pallas import wproj_gridder_pallas
 
-            return wproj_gridder_pallas(bank_conj, grid_shape, p, wbin, vis)
+            out = wproj_gridder_pallas(bank_conj, grid_shape, p, wbin, vis)
+            return out if init is None else init + out
         except ImportError:
             impl = "xla"
-    guv = jnp.zeros(grid_shape, vis.dtype)
+    guv = jnp.zeros(grid_shape, vis.dtype) if init is None else init
     return convgrid_wproj(bank_conj, guv, p, wbin, vis, chunk=chunk)

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..config import ImagingConfig
 from ..io import h5, schema
+from ..kernels import wproj_gridder
 from ..ops import (
     convgrid_wproj,
     doweight,
@@ -47,9 +48,23 @@ class VisData(NamedTuple):
     frequency: float
 
 
+def _require_file(path: str) -> None:
+    """Fail fast with a clear message when an input file is absent.
+
+    The reference checks file existence before every read
+    (``src/Hdf5.hs:117-118``); same contract here.
+    """
+    import os
+
+    p = path if path.endswith(".h5") else path + ".h5"
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"input HDF5 file does not exist: {p}")
+
+
 def load_vis_data(datfile: str) -> VisData:
     """Read the /vis tree (reference readVis/readBaselines/readSource,
     ``ImageDataset.hs:86-106``); the rank-3 vis block flattens to [n]."""
+    _require_file(datfile)
     vis = h5.read_dataset(datfile, schema.VIS_VIS, dtype=np.complex128).reshape(-1)
     uvw = h5.read_dataset(datfile, schema.VIS_UVW, dtype=np.float64)
     a1 = h5.read_dataset(datfile, schema.VIS_ANTENNA1, dtype=np.int64)
@@ -73,6 +88,7 @@ def get_akernels(afile: str, theta: float, t: float, f: float) -> np.ndarray:
     frequency (``ImageDataset.hs:125`` uses tsSorted); we search the actual
     frequency list — a deliberate bug-fix divergence.
     """
+    _require_file(afile)
     ants = schema.parse_sorted(h5.list_group(afile, schema.akern_group(theta)))
     a0 = ants[0][1]
     times = schema.parse_sorted(
@@ -94,6 +110,7 @@ def get_wkernels(wfile: str, theta: float):
 
     Reference ``getWKernels`` (``ImageDataset.hs:136-148``).
     """
+    _require_file(wfile)
     wbins = schema.parse_sorted(h5.list_group(wfile, schema.wkern_group(theta)))
     names = [schema.wkern_dataset(theta, name) for _, name in wbins]
     bank = h5.read_datasets_stacked(wfile, names, dtype=np.complex128)
@@ -127,14 +144,9 @@ def _wproj_pipeline(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk):
     uvw1, vis1 = mirror_uvw(uvw0, vis)
     n = int(round(theta * lam))
     wbin = find_closest(wbins, uvw1[:, 2])
-    guv = convgrid_wproj(
-        bank_conj,
-        jnp.zeros((n, n), vis.dtype),
-        uvw1 / lam,
-        wbin,
-        wt * vis1,
-        chunk=chunk,
-    )
+    # dispatches to the Pallas tile-privatized kernel on TPU, XLA elsewhere
+    guv = wproj_gridder(bank_conj, (n, n), uvw1 / lam, wbin, wt * vis1,
+                        chunk=chunk)
     img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
     return img, jnp.max(img)
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..kernels import wproj_gridder
 from ..ops import (
     convgrid_wproj,
     doweight,
@@ -131,8 +132,8 @@ def make_sharded_wproj_step(mesh: Mesh, theta: float, lam: int,
         uvw1, vis1 = mirror_uvw(uvw_l, vis)
         wbin = find_closest(centers, uvw1[:, 2])
         guv = _varying_zeros((n_grid, n_grid), vis.dtype)
-        part = convgrid_wproj(bank_conj, guv, uvw1 / lam, wbin, wt * vis1,
-                              chunk=chunk)
+        part = wproj_gridder(bank_conj, (n_grid, n_grid), uvw1 / lam,
+                             wbin, wt * vis1, chunk=chunk, init=guv)
         full = jax.lax.psum(part, VIS_AXIS)
         return jnp.real(ifft_centered(make_grid_hermitian(full)))
 
