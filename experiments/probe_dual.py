@@ -21,17 +21,8 @@ global atomics and XLA's scatter-add lowers to a serialized loop (measured
    rotates (``pltpu.roll``).  Re/im planes are interleaved in the lane
    dimension (kernel bank pre-interleaved as A=(re,im), B=(-im,re) so the
    complex multiply is ``vr·A[k] + vi·B[k]``), halving the number of
-   rolls and stores per visibility.  The store window is (24, 256) with a
-   128-lane-aligned base (residual lane shift < 128).
-4. **Software pipelining:** per-record compute (bank lookup, FMA, pad,
-   rolls) is issued speculatively for a whole unrolled group of records
-   with NO control flow between the chains, and only the accumulator
-   read-modify-writes are guarded by ``pl.when`` on the tile's [lo, hi)
-   record range.  This lets Mosaic interleave the long roll/FMA latency
-   chains of independent records (+32% measured).  RMWs alternate between
-   two disjoint accumulators to shorten store→load hazard chains; the two
-   are summed once per tile on output.
-5. **Halo fold (jnp):** per-tile outputs are folded into the padded grid
+   rolls and stores per visibility.
+4. **Halo fold (jnp):** per-tile outputs are folded into the padded grid
    with four dense reshape-adds (core, right-halo, down-halo, corner), then
    cropped.  Out-of-bounds patch elements land in the crop margin and
    vanish — exactly the reference's ``fixoutofbounds`` drop semantics
@@ -39,8 +30,7 @@ global atomics and XLA's scatter-add lowers to a serialized loop (measured
 
 Measured on TPU v5e (1M vis, 2400² grid, qpx=8, 15² kernels, nw=32):
 XLA scatter 0.059 → matmul-shift kernel 3.1 → roll kernel 4.8 →
-interleaved-roll 5.2 → split/pipelined dual-acc kernel (this file) ~7.0
-Mvis/s — see BENCH logs.
+interleaved-roll kernel (this file) — see BENCH logs.
 """
 
 from __future__ import annotations
@@ -53,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.coords import frac_coords
+from ska_sdp_tpu.ops.coords import frac_coords
 
 # Tile geometry (coarse-grid coordinates). PAD must be >= kernel support so
 # a patch anchored anywhere in a TY×TX tile stays inside the halo'd scratch.
@@ -61,7 +51,7 @@ TY, TX = 128, 256
 PAD = 16          # sublane halo
 PADX = 128        # lane halo (coarse columns)
 CHUNK = 256       # visibility records per DMA block
-UNROLL = 16
+UNROLL = 8
 
 
 def _align(x: int, m: int) -> int:
@@ -80,7 +70,7 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
     start = starts_ref[t]
     end = starts_ref[t + 1]
     SH = _align(gh + 7, 8)
-    SW = _align(2 * gw + 127, 128)   # narrow window
+    SW = _align(2 * gw + 255, 128)   # interleaved width incl. max residual
 
     acc[:] = jnp.zeros_like(acc)
     acc2[:] = jnp.zeros_like(acc2)
@@ -98,35 +88,27 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
         lo = jnp.maximum(start - b * CHUNK, 0)
         hi = jnp.minimum(end - b * CHUNK, CHUNK)
 
-        nk = bank_a_ref.shape[0]
-
-        def _compute(i):
-            y0 = recs_s[0, i].astype(jnp.int32)
-            x0 = recs_s[1, i].astype(jnp.int32)
-            k = recs_s[2, i].astype(jnp.int32)
-            k = jnp.minimum(k, jnp.int32(nk - 1))
-            vr = recs_s[3, i]
-            vi = recs_s[4, i]
-            patch = vr * bank_a_ref[k] + vi * bank_b_ref[k]
-            r = jax.lax.rem(y0, jnp.int32(8))
-            x2 = x0 * 2
-            rem = jax.lax.rem(x2, jnp.int32(128))
-            y0a = pl.multiple_of(y0 - r, 8)
-            x2a = pl.multiple_of(x2 - rem, 128)
-            patch = jnp.pad(patch, ((0, SH - gh), (0, SW - 2 * gw)))
-            patch = pltpu.roll(pltpu.roll(patch, r, 0), rem, 1)
-            return patch, y0a, x2a
+        def _vis_one(i, lo, hi, tgt):
+            @pl.when((i >= lo) & (i < hi))
+            def _():
+                y0 = recs_s[0, i].astype(jnp.int32)
+                x0 = recs_s[1, i].astype(jnp.int32)
+                k = recs_s[2, i].astype(jnp.int32)
+                vr = recs_s[3, i]
+                vi = recs_s[4, i]
+                # interleaved complex multiply: one FMA pair on (gh, 2·gw)
+                patch = vr * bank_a_ref[k] + vi * bank_b_ref[k]
+                r = jax.lax.rem(y0, jnp.int32(8))
+                cc = jax.lax.rem(x0, jnp.int32(128))
+                y0a = pl.multiple_of(y0 - r, 8)
+                x2a = pl.multiple_of((x0 - cc) * 2, 256)
+                patch = jnp.pad(patch, ((0, SH - gh), (0, SW - 2 * gw)))
+                patch = pltpu.roll(pltpu.roll(patch, r, 0), 2 * cc, 1)
+                tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
 
         def vis_body(iu, _):
-            items = [_compute(iu * UNROLL + u) for u in range(UNROLL)]
-            for u, (patch, y0a, x2a) in enumerate(items):
-                i = iu * UNROLL + u
-                tgt = acc if u % 2 == 0 else acc2
-
-                @pl.when((i >= lo) & (i < hi))
-                def _(patch=patch, y0a=y0a, x2a=x2a, tgt=tgt):
-                    tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
-
+            for u in range(UNROLL):
+                _vis_one(iu * UNROLL + u, lo, hi, acc if u % 2 == 0 else acc2)
             return 0
 
         jax.lax.fori_loop(0, CHUNK // UNROLL, vis_body, 0, unroll=False)

@@ -21,17 +21,8 @@ global atomics and XLA's scatter-add lowers to a serialized loop (measured
    rotates (``pltpu.roll``).  Re/im planes are interleaved in the lane
    dimension (kernel bank pre-interleaved as A=(re,im), B=(-im,re) so the
    complex multiply is ``vr·A[k] + vi·B[k]``), halving the number of
-   rolls and stores per visibility.  The store window is (24, 256) with a
-   128-lane-aligned base (residual lane shift < 128).
-4. **Software pipelining:** per-record compute (bank lookup, FMA, pad,
-   rolls) is issued speculatively for a whole unrolled group of records
-   with NO control flow between the chains, and only the accumulator
-   read-modify-writes are guarded by ``pl.when`` on the tile's [lo, hi)
-   record range.  This lets Mosaic interleave the long roll/FMA latency
-   chains of independent records (+32% measured).  RMWs alternate between
-   two disjoint accumulators to shorten store→load hazard chains; the two
-   are summed once per tile on output.
-5. **Halo fold (jnp):** per-tile outputs are folded into the padded grid
+   rolls and stores per visibility.
+4. **Halo fold (jnp):** per-tile outputs are folded into the padded grid
    with four dense reshape-adds (core, right-halo, down-halo, corner), then
    cropped.  Out-of-bounds patch elements land in the crop margin and
    vanish — exactly the reference's ``fixoutofbounds`` drop semantics
@@ -39,8 +30,7 @@ global atomics and XLA's scatter-add lowers to a serialized loop (measured
 
 Measured on TPU v5e (1M vis, 2400² grid, qpx=8, 15² kernels, nw=32):
 XLA scatter 0.059 → matmul-shift kernel 3.1 → roll kernel 4.8 →
-interleaved-roll 5.2 → split/pipelined dual-acc kernel (this file) ~7.0
-Mvis/s — see BENCH logs.
+interleaved-roll kernel (this file) — see BENCH logs.
 """
 
 from __future__ import annotations
@@ -53,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.coords import frac_coords
+from ska_sdp_tpu.ops.coords import frac_coords
 
 # Tile geometry (coarse-grid coordinates). PAD must be >= kernel support so
 # a patch anchored anywhere in a TY×TX tile stays inside the halo'd scratch.
@@ -61,7 +51,7 @@ TY, TX = 128, 256
 PAD = 16          # sublane halo
 PADX = 128        # lane halo (coarse columns)
 CHUNK = 256       # visibility records per DMA block
-UNROLL = 16
+UNROLL = 8
 
 
 def _align(x: int, m: int) -> int:

@@ -21,17 +21,8 @@ global atomics and XLA's scatter-add lowers to a serialized loop (measured
    rotates (``pltpu.roll``).  Re/im planes are interleaved in the lane
    dimension (kernel bank pre-interleaved as A=(re,im), B=(-im,re) so the
    complex multiply is ``vr·A[k] + vi·B[k]``), halving the number of
-   rolls and stores per visibility.  The store window is (24, 256) with a
-   128-lane-aligned base (residual lane shift < 128).
-4. **Software pipelining:** per-record compute (bank lookup, FMA, pad,
-   rolls) is issued speculatively for a whole unrolled group of records
-   with NO control flow between the chains, and only the accumulator
-   read-modify-writes are guarded by ``pl.when`` on the tile's [lo, hi)
-   record range.  This lets Mosaic interleave the long roll/FMA latency
-   chains of independent records (+32% measured).  RMWs alternate between
-   two disjoint accumulators to shorten store→load hazard chains; the two
-   are summed once per tile on output.
-5. **Halo fold (jnp):** per-tile outputs are folded into the padded grid
+   rolls and stores per visibility.
+4. **Halo fold (jnp):** per-tile outputs are folded into the padded grid
    with four dense reshape-adds (core, right-halo, down-halo, corner), then
    cropped.  Out-of-bounds patch elements land in the crop margin and
    vanish — exactly the reference's ``fixoutofbounds`` drop semantics
@@ -39,8 +30,7 @@ global atomics and XLA's scatter-add lowers to a serialized loop (measured
 
 Measured on TPU v5e (1M vis, 2400² grid, qpx=8, 15² kernels, nw=32):
 XLA scatter 0.059 → matmul-shift kernel 3.1 → roll kernel 4.8 →
-interleaved-roll 5.2 → split/pipelined dual-acc kernel (this file) ~7.0
-Mvis/s — see BENCH logs.
+interleaved-roll kernel (this file) — see BENCH logs.
 """
 
 from __future__ import annotations
@@ -53,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.coords import frac_coords
+from ska_sdp_tpu.ops.coords import frac_coords
 
 # Tile geometry (coarse-grid coordinates). PAD must be >= kernel support so
 # a patch anchored anywhere in a TY×TX tile stays inside the halo'd scratch.
@@ -61,7 +51,7 @@ TY, TX = 128, 256
 PAD = 16          # sublane halo
 PADX = 128        # lane halo (coarse columns)
 CHUNK = 256       # visibility records per DMA block
-UNROLL = 16
+UNROLL = 8
 
 
 def _align(x: int, m: int) -> int:
@@ -75,7 +65,7 @@ def _geometry(H: int, W: int):
 
 
 def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
-            out_ref, recs_s, acc, acc2, sems, *, gh: int, gw: int):
+            out_ref, recs_s, acc, acc2, acc3, acc4, sems, *, gh: int, gw: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
@@ -84,6 +74,8 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
 
     acc[:] = jnp.zeros_like(acc)
     acc2[:] = jnp.zeros_like(acc2)
+    acc3[:] = jnp.zeros_like(acc3)
+    acc4[:] = jnp.zeros_like(acc4)
 
     # Records are stored in CHUNK-sized blocks; a tile's range [start, end)
     # may straddle block boundaries, so boundary blocks are loaded by both
@@ -121,7 +113,7 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
             items = [_compute(iu * UNROLL + u) for u in range(UNROLL)]
             for u, (patch, y0a, x2a) in enumerate(items):
                 i = iu * UNROLL + u
-                tgt = acc if u % 2 == 0 else acc2
+                tgt = (acc, acc2, acc3, acc4)[u % 4]
 
                 @pl.when((i >= lo) & (i < hi))
                 def _(patch=patch, y0a=y0a, x2a=x2a, tgt=tgt):
@@ -137,7 +129,7 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
     )
     jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
 
-    out_ref[0] = acc[:] + acc2[:]
+    out_ref[0] = (acc[:] + acc2[:]) + (acc3[:] + acc4[:])
 
 
 def _fold_tiles(tiles, nty: int, ntx: int, xs: int = 1):
@@ -258,6 +250,8 @@ def wproj_scatter_planes(bank_re, bank_im, grid_shape: Tuple[int, int], p,
         ],
         scratch_shapes=[
             pltpu.SMEM((8, CHUNK), jnp.float32),
+            pltpu.VMEM((TYP, TXP2), jnp.float32),
+            pltpu.VMEM((TYP, TXP2), jnp.float32),
             pltpu.VMEM((TYP, TXP2), jnp.float32),
             pltpu.VMEM((TYP, TXP2), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
