@@ -53,3 +53,26 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384,
             impl = "xla"
     guv = jnp.zeros(grid_shape, vis.dtype) if init is None else init
     return convgrid_wproj(bank_conj, guv, p, wbin, vis, chunk=chunk)
+
+
+def wproj_degridder(bank, grid, p, wbin, chunk: int = 16384):
+    """w-projection degrid (grid→vis predict): adjoint of the scatter.
+
+    Dispatches like :func:`wproj_gridder`: the Pallas tile-batched gather
+    on TPU, the chunked XLA gather elsewhere.  ``bank`` is the RAW kernel
+    bank (the conjugate is applied internally, matching
+    ``ops.degrid_wproj``).
+    """
+    from ..ops.gridding import degrid_wproj
+
+    impl = _IMPL
+    if impl == "auto":
+        impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
+    if impl == "pallas":
+        try:
+            from .wproj_degrid_pallas import wproj_degridder_pallas
+
+            return wproj_degridder_pallas(bank, grid, p, wbin)
+        except ImportError:
+            pass
+    return degrid_wproj(bank, grid, p, wbin, chunk=chunk)

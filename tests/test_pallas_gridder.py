@@ -110,3 +110,81 @@ class TestPallasParity:
             bank, (n_grid, n_grid), p, wbin, vis, interpret=True
         )
         assert float(jnp.abs(got).sum()) == 0.0
+
+
+class TestPallasDegrid:
+    """Pallas degridder vs the XLA adjoint gather (interpret mode)."""
+
+    @pytest.mark.parametrize("n_grid,b", [(300, 500), (512, 300)])
+    def test_matches_xla_degrid(self, rng, n_grid, b):
+        from ska_sdp_tpu.kernels.wproj_degrid_pallas import (
+            wproj_degridder_pallas,
+        )
+
+        nw, qpx, s = 4, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        grid = jnp.asarray(
+            _rand_cplx(rng, (n_grid, n_grid)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+
+        got = wproj_degridder_pallas(bank, grid, p, wbin, interpret=True)
+        want = ops.degrid_wproj(bank, grid, p, wbin, chunk=128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_oob_and_invalid_records(self, rng):
+        from ska_sdp_tpu.kernels.wproj_degrid_pallas import (
+            wproj_degridder_pallas,
+        )
+
+        n_grid, b = 256, 64
+        nw, qpx, s = 2, 2, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        grid = jnp.asarray(
+            _rand_cplx(rng, (n_grid, n_grid)).astype(np.complex64)
+        )
+        p_edge = rng.uniform(0.47, 0.60, size=(b, 3))  # some fully outside
+        p_edge[::2] *= -1
+        p = jnp.asarray(p_edge.astype(np.float32))
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+
+        got = wproj_degridder_pallas(bank, grid, p, wbin, interpret=True)
+        want = ops.degrid_wproj(bank, grid, p, wbin, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_grid_degrid_adjoint(self, rng):
+        # <scatter(v), G> == <v, degrid_pallas(G)> through the kernels
+        from ska_sdp_tpu.kernels.wproj_degrid_pallas import (
+            wproj_degridder_pallas,
+        )
+
+        n_grid, b = 300, 200
+        nw, qpx, s = 2, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.45, 0.45, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        v = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+        G = jnp.asarray(_rand_cplx(rng, (n_grid, n_grid)).astype(np.complex64))
+
+        Av = wproj_gridder_pallas(
+            bank, (n_grid, n_grid), p, wbin, v, interpret=True
+        )
+        AtG = wproj_degridder_pallas(bank, G, p, wbin, interpret=True)
+        lhs = complex(jnp.vdot(G, Av))
+        rhs = complex(jnp.vdot(AtG, v))
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-4
