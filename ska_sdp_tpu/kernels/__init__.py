@@ -76,3 +76,28 @@ def wproj_degridder(bank, grid, p, wbin, chunk: int = 16384):
         except ImportError:
             pass
     return degrid_wproj(bank, grid, p, wbin, chunk=chunk)
+
+
+def aw_gridder(wkerns, akerns, guv, p, wbin, a1, a2, vis,
+               chunk: int = 8192, slab: int = 1 << 16):
+    """AW-projection gridder dispatch (on-the-fly A1⊛A2⊛W kernels).
+
+    TPU: MXU-batched patch synthesis + Pallas tile placement
+    (``patch_scatter_pallas.convgrid_aw_pallas``).  Elsewhere: the chunked
+    XLA scatter (``ops.convgrid_aw``).
+    """
+    from ..ops.gridding import convgrid_aw
+
+    impl = _IMPL
+    if impl == "auto":
+        impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
+    if impl == "pallas":
+        try:
+            from .patch_scatter_pallas import convgrid_aw_pallas
+
+            return convgrid_aw_pallas(
+                wkerns, akerns, guv, p, wbin, a1, a2, vis, slab=slab
+            )
+        except ImportError:
+            pass
+    return convgrid_aw(wkerns, akerns, guv, p, wbin, a1, a2, vis, chunk=chunk)

@@ -135,7 +135,9 @@ def aw_imaging(
     a1, a2 = src[0].astype(jnp.int32), src[1].astype(jnp.int32)
     guv = _empty_grid(theta, lam, vis.dtype)
     wbin = find_closest(wbin_centers, uvw[:, 2])
-    return convgrid_aw(
+    from ..kernels import aw_gridder
+
+    return aw_gridder(
         wkernels, akernels, guv, uvw / lam, wbin, a1, a2, vis, chunk=chunk
     )
 

@@ -27,18 +27,60 @@ we keep both stages.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
+import numpy as np
 
 from .fourier import extract_mid, fft_centered, ifft_centered, next_pow2, pad_mid
+
+# Batched FFTs of tiny transforms are slow on TPU (XLA's FFT is not
+# MXU-mapped at these sizes: measured 0.76M 32² transforms/s on v5e).  For
+# the small centered transforms of the AW path we instead materialize the
+# composite linear maps (pad∘shift∘DFT and DFT∘shift∘extract) as dense
+# (m, s)/(n, m) matrices and evaluate them as F · X · Fᵀ batched matmuls on
+# the MXU.  Exact — same operator, different factorization.
+_MM_MAX = 128   # use the matmul path for transforms up to this size
+
+
+@lru_cache(maxsize=None)
+def _analysis_mat(s: int, m: int):
+    """A (m, s) with _spec(x, m) == A @ x @ A.T for (s, s) inputs."""
+    j = np.arange(s)
+    p = (j - s // 2) % m                 # pad_mid ∘ ifftshift placement
+    k = np.arange(m)[:, None]
+    return np.exp(2j * np.pi * k * p[None, :] / m) / m   # complex128
+
+
+@lru_cache(maxsize=None)
+def _synthesis_mat(n: int, m: int):
+    """S (n, m) with _synth(X, n, m) == S @ X @ S.T for (m, m) spectra."""
+    i = np.arange(n)
+    rows = (i - n // 2) % m              # fftshift ∘ extract_mid selection
+    l = np.arange(m)[None, :]
+    # the reference's ×m² synthesis scale, split m per axis
+    return np.exp(-2j * np.pi * rows[:, None] * l / m) * m   # complex128
+
+
+def _sandwich(M, x):
+    """M @ x @ M.T batched over leading axes of x (two MXU matmuls)."""
+    M = jnp.asarray(M, dtype=jnp.result_type(x, jnp.complex64))
+    t = jnp.einsum("ms,...st->...mt", M, x)
+    return jnp.einsum("...mt,nt->...mn", t, M)
 
 
 def _spec(a, m: int):
     """Centered analysis transform used by the reference: ifft∘ishift∘pad."""
+    s = a.shape[-1]
+    if m <= _MM_MAX:
+        return _sandwich(jnp.asarray(_analysis_mat(s, m)), a)
     return jnp.fft.ifft2(jnp.fft.ifftshift(pad_mid(a, m), axes=(-2, -1)))
 
 
 def _synth(spec, n: int, m: int):
     """Centered synthesis: shift∘fft, extract middle n, ×m²."""
+    if m <= _MM_MAX:
+        return _sandwich(jnp.asarray(_synthesis_mat(n, m)), spec)
     conv = jnp.fft.fftshift(jnp.fft.fft2(spec), axes=(-2, -1))
     return extract_mid(conv, n) * (m * m)
 
@@ -126,8 +168,16 @@ def make_aw_kernels_batched(s: int):
 
     def build(a_spec, w_spec, a1_idx, a2_idx, wbin, yf, xf):
         prod1 = a_spec[a1_idx] * a_spec[a2_idx]              # [b, m, m]
-        akern = _synth(prod1, s, m)                          # [b, s, s]
-        aspec2 = _spec(akern, m)                             # [b, m, m]
+        if m <= _MM_MAX:
+            # synth(·, s) ∘ spec(·) is one dense (m, m) sandwich:
+            # T = A_{m×s} @ S_{s×m} — rank s, the truncation is inside.
+            T = jnp.asarray(
+                _analysis_mat(s, m) @ _synthesis_mat(s, m)
+            )
+            aspec2 = _sandwich(T, prod1)                     # [b, m, m]
+        else:
+            akern = _synth(prod1, s, m)                      # [b, s, s]
+            aspec2 = _spec(akern, m)                         # [b, m, m]
         wtap = w_spec[wbin, yf, xf]                          # [b, m, m]
         aw = _synth(aspec2 * wtap, s, m)                     # [b, s, s]
         return jnp.conj(aw)
