@@ -144,3 +144,49 @@ def make_sharded_wproj_step(mesh: Mesh, theta: float, lam: int,
         out_specs=P(),
     )
     return jax.jit(fn)
+
+
+def make_sharded_wproj_step_gridfft(mesh: Mesh, theta: float, lam: int,
+                                    chunk: int = 1024):
+    """Sharded step whose FFT is ALSO distributed (grid-parallel finish).
+
+    vis-sharded gridding → psum (grid replicated) → local hermitian →
+    each device keeps its row block → pencil-decomposition centered
+    inverse FFT (one all_to_all each way, riding ICI) → row-sharded dirty
+    image (gathered to replicated on return).  This is the scale-out path
+    for grids that outgrow a single chip's FFT (SURVEY §5: n = θ·λ).
+
+    Requires n_grid divisible by mesh_size² (all_to_all re-split).
+    """
+    from .fft import fft2_centered_sharded
+
+    n_grid = int(round(theta * lam))
+    n_dev = mesh.devices.size
+    if n_grid % (n_dev * n_dev) != 0:
+        raise ValueError(
+            f"grid {n_grid} not divisible by mesh_size² = {n_dev**2}"
+        )
+    hl = n_grid // n_dev
+
+    def local(bank_conj, centers, uvw, freq, vis):
+        uvw_l = uvw_lambda(freq, uvw)
+        uvw1, vis1 = mirror_uvw(uvw_l, vis)
+        wbin = find_closest(centers, uvw1[:, 2])
+        guv = _varying_zeros((n_grid, n_grid), vis.dtype)
+        part = wproj_gridder(bank_conj, (n_grid, n_grid), uvw1 / lam,
+                             wbin, vis1, chunk=chunk, init=guv)
+        full = jax.lax.psum(part, VIS_AXIS)
+        herm = make_grid_hermitian(full)
+        row0 = jax.lax.axis_index(VIS_AXIS).astype(jnp.int32) * hl
+        block = jax.lax.dynamic_slice(herm, (row0, jnp.int32(0)), (hl, n_grid))
+        return jnp.real(
+            fft2_centered_sharded(block, VIS_AXIS, inverse=True)
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(VIS_AXIS), P(), P(VIS_AXIS)),
+        out_specs=P(VIS_AXIS),   # dirty image stays row-sharded
+    )
+    return jax.jit(fn)

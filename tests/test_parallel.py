@@ -88,3 +88,70 @@ class TestShardedStep:
         )
         assert img.shape == (64, 64)
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestShardedFFT:
+    def test_sharded_ifft_matches_local(self, rng):
+        from ska_sdp_tpu.ops.fourier import ifft_centered
+        from ska_sdp_tpu.parallel.fft import make_sharded_ifft2
+        from ska_sdp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        H = W = 320
+        x = jnp.asarray(
+            (rng.standard_normal((H, W))
+             + 1j * rng.standard_normal((H, W)))
+        )
+        want = np.asarray(ifft_centered(x))
+        got = np.asarray(make_sharded_ifft2(mesh)(x))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_gridfft_step_matches_replicated_step(self, rng):
+        from ska_sdp_tpu.parallel.mesh import make_mesh
+        from ska_sdp_tpu.parallel.sharded import (
+            make_sharded_wproj_step,
+            make_sharded_wproj_step_gridfft,
+        )
+        from ska_sdp_tpu.ops import w_kernel_bank
+        from ska_sdp_tpu.config import KernelOptions
+
+        mesh = make_mesh(8)
+        theta, lam = 0.02, 16000     # 320² grid = 8²·5 rows
+        nw, qpx, s = 4, 2, 15
+        n_vis = 512
+        opts = KernelOptions(qpx=qpx, npix_ff=64, npix_kern=s)
+        centers = jnp.linspace(-500.0, 500.0, nw)
+        bank = w_kernel_bank(theta, centers, opts).astype(jnp.complex128)
+        uvw = rng.uniform(-0.4 * lam, 0.4 * lam, size=(n_vis, 3))
+        uvw[:, 2] = rng.uniform(-450, 450, size=n_vis)
+        uvw = jnp.asarray(uvw)
+        vis = jnp.asarray(
+            rng.standard_normal(n_vis) + 1j * rng.standard_normal(n_vis)
+        )
+        freq = jnp.asarray(299792458.0)
+
+        # the gridfft step skips doweight; compare against an equivalent
+        # replicated-FFT step without weighting by reusing sharded_wproj_image
+        from ska_sdp_tpu.parallel.sharded import sharded_wproj_image
+
+        img_grid_fft = np.asarray(
+            make_sharded_wproj_step_gridfft(mesh, theta, lam, chunk=128)(
+                bank, centers, uvw, freq, vis
+            )
+        )
+        from ska_sdp_tpu.ops import (find_closest, ifft_centered,
+                                     make_grid_hermitian, mirror_uvw,
+                                     uvw_lambda, convgrid_wproj)
+
+        uvw_l = uvw_lambda(freq, uvw)
+        uvw1, vis1 = mirror_uvw(uvw_l, vis)
+        wbin = find_closest(centers, uvw1[:, 2])
+        n_grid = int(round(theta * lam))
+        guv = convgrid_wproj(
+            bank, jnp.zeros((n_grid, n_grid), vis.dtype), uvw1 / lam, wbin,
+            vis1, chunk=128,
+        )
+        want = np.asarray(
+            jnp.real(ifft_centered(make_grid_hermitian(guv)))
+        )
+        np.testing.assert_allclose(img_grid_fft, want, rtol=1e-9, atol=1e-11)
