@@ -216,6 +216,22 @@ def convgrid_aw_pallas(wkerns, akerns, guv, p, wbin, a1, a2, vis,
     w_spec = wkernel_tap_spectra(wkerns)
     build = make_aw_kernels_batched(gh)
 
+    # Pair factorization: the A1⊛A2 half of the chain depends only on the
+    # antenna pair — precompute it for every pair once (gathers dominate
+    # the per-visibility cost on TPU), unless the pair table would be
+    # larger than the visibility batch itself.
+    nant = akerns.shape[0]
+    pair_tab = None
+    if nant * nant <= 16384:
+        from ..ops.convolution import _analysis_mat, _sandwich, _synthesis_mat
+
+        m = a_spec.shape[-1]
+        T = _analysis_mat(gh, m) @ _synthesis_mat(gh, m)
+        prod = a_spec[:, None] * a_spec[None, :]          # [nant, nant, m, m]
+        # stored flat: gathers of lane-tile-aligned [b, m²] rows are ~2×
+        # faster on TPU than [b, m, m] blocks with a sub-128 minor dim
+        pair_tab = _sandwich(T, prod).reshape(nant * nant, m * m)
+
     n = vis.shape[0]
     g_re = jnp.real(guv).astype(jnp.float32)
     g_im = jnp.imag(guv).astype(jnp.float32)
@@ -224,7 +240,21 @@ def convgrid_aw_pallas(wkerns, akerns, guv, p, wbin, a1, a2, vis,
 
     for s0 in range(0, max(n, 1), slab):
         sl = slice(s0, min(s0 + slab, n))
-        awk = build(a_spec, w_spec, a1[sl], a2[sl], wbin[sl], yf[sl], xf[sl])
+        if pair_tab is not None:
+            from ..ops.convolution import _sandwich, _synthesis_mat
+
+            m = a_spec.shape[-1]
+            spec2 = pair_tab[a1[sl] * nant + a2[sl]]      # [b, m²] flat
+            wflat = w_spec.reshape(nw * qpx * qpx, m * m)
+            kidx = (wbin[sl] * qpx + yf[sl]) * qpx + xf[sl]
+            wtap = wflat[kidx]                            # [b, m²] flat
+            prod2 = (spec2 * wtap).reshape(-1, m, m)
+            awk = jnp.conj(
+                _sandwich(jnp.asarray(_synthesis_mat(gh, m)), prod2)
+            )
+        else:
+            awk = build(a_spec, w_spec, a1[sl], a2[sl], wbin[sl], yf[sl],
+                        xf[sl])
         cpatch = vis[sl, None, None] * awk               # [b, gh, gw] c64
         inter = jnp.stack(
             [jnp.real(cpatch), jnp.imag(cpatch)], axis=-1
