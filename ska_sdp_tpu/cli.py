@@ -28,8 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input-dir", default="data", help="input directory")
     p.add_argument("-o", "--output", default=None, help="output .h5 (/img)")
     p.add_argument(
-        "--mode", choices=["aw", "w", "simple"], default="aw",
-        help="imaging pipeline (aw: AW-projection, w: w-projection, simple)",
+        "--mode", choices=["aw", "w", "simple", "predict"], default="aw",
+        help="pipeline (aw/w/simple imaging; predict: model image -> vis)",
     )
     p.add_argument(
         "--backend", choices=["tpu", "cpu"], default=None,
@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--trace-dir", default=None, help="write jax.profiler traces here"
     )
+    p.add_argument("--checkpoint", default=None,
+                   help="resumable run: checkpoint .h5 path (--mode w)")
+    p.add_argument("--slab", type=int, default=1 << 18,
+                   help="visibilities per checkpoint slab")
+    p.add_argument("--model", default=None,
+                   help="model image .h5 (/img) for --mode predict")
     p.add_argument("--theta", type=float, default=0.008)
     p.add_argument("--lam", type=int, default=300000)
     # synthetic-data generation
@@ -110,16 +116,33 @@ def main(argv=None) -> int:
             print(f"error: input file not found: {f}", file=sys.stderr)
             return 1
 
+    if args.mode == "predict":
+        if not args.model:
+            print("error: --mode predict requires --model", file=sys.stderr)
+            return 1
+        pred, peak = ds.w_predict(
+            wkern_path, vis_path, args.model, n=cfg.n_vis,
+            outfile=args.output, config=cfg, timer=timer,
+        )
+        print(f"predicted {pred.shape[0]} visibilities, peak |vis|: {peak}")
+        return 0
+
     if args.mode == "aw":
         mx, _ = ds.aw_gridding(
             wkern_path, akern_path, vis_path, n=cfg.n_vis,
             outfile=args.output, old=args.old, config=cfg, timer=timer,
         )
     elif args.mode == "w":
-        mx, _ = ds.w_gridding(
-            wkern_path, vis_path, n=cfg.n_vis, outfile=args.output,
-            config=cfg, timer=timer,
-        )
+        if args.checkpoint:
+            mx, _ = ds.w_gridding_checkpointed(
+                wkern_path, vis_path, args.checkpoint, n=cfg.n_vis,
+                outfile=args.output, slab=args.slab, config=cfg, timer=timer,
+            )
+        else:
+            mx, _ = ds.w_gridding(
+                wkern_path, vis_path, n=cfg.n_vis, outfile=args.output,
+                config=cfg, timer=timer,
+            )
     else:
         import jax.numpy as jnp
         import numpy as np

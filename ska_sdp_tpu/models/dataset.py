@@ -15,6 +15,7 @@ via its ``run`` backend injection, ``ImageDataset.hs:76-77``).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -243,4 +244,185 @@ def w_gridding(
         with timer.phase("write/img"):
             h5.create_file(outfile)
             h5.write_dataset(outfile, schema.IMG_DATASET, img.astype(np.float64))
+    return mx, img
+
+
+@partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
+def _predict_pipeline(wkerns, wbins, img, uvw, f, *, theta, lam, chunk):
+    """Model image → uv-grid → per-visibility prediction (degridding)."""
+    from ..kernels import wproj_degridder
+    from ..ops import fft_centered
+
+    uvw0 = uvw_lambda(f, uvw)
+    grid = fft_centered(img.astype(wkerns.dtype))
+    wbin = find_closest(wbins, uvw0[:, 2])
+    return wproj_degridder(wkerns, grid, uvw0 / lam, wbin, chunk=chunk)
+
+
+def w_predict(
+    wfile: str,
+    datfile: str,
+    modelfile: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+):
+    """Predict visibilities from a model image at the dataset's uvw samples.
+
+    The degridding (grid→vis) direction — the exact adjoint of the
+    w-projection gridder.  Absent from the reference (SURVEY §7.4) but
+    required for model subtraction / self-calibration loops.  Reads the
+    model from ``modelfile``'s ``/img``, writes predictions to
+    ``outfile``'s ``/vis/model`` (complex, same order as ``/vis/uvw``).
+
+    Returns (predicted ndarray, peak |vis|).
+    """
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/wkern"):
+        wkerns, wbins = get_wkernels(wfile, theta)
+    with timer.phase("ingest/model"):
+        img = np.asarray(h5.read_dataset(modelfile, schema.IMG_DATASET))
+    n_grid = int(round(theta * lam))
+    if img.shape != (n_grid, n_grid):
+        raise ValueError(
+            f"model image {img.shape} does not match grid "
+            f"({n_grid}, {n_grid}) for theta={theta}, lam={lam}"
+        )
+
+    n = n if n is not None else data.uvw.shape[0]
+    with timer.phase("h2d+compile+fft+degrid"):
+        pred = _predict_pipeline(
+            np.asarray(wkerns, prec.np_complex),
+            np.asarray(wbins, prec.np_real),
+            np.asarray(img, prec.np_real),
+            np.asarray(data.uvw[:n], prec.np_real),
+            np.asarray(data.frequency, prec.np_real),
+            theta=theta,
+            lam=lam,
+            chunk=min(8192, max(256, n)),
+        )
+        pred = np.asarray(pred)
+
+    if outfile is not None:
+        with timer.phase("write/model-vis"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, "/vis/model",
+                             pred.astype(np.complex128))
+    return pred, float(np.abs(pred).max())
+
+
+@partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
+def _wgrid_slab(bank_conj, wbins, uvw_l, wt, vis, grid, *, theta, lam, chunk):
+    """Grid one visibility slab into the running uv-grid (resumable)."""
+    n = int(round(theta * lam))
+    uvw1, vis1 = mirror_uvw(uvw_l, vis)
+    wbin = find_closest(wbins, uvw1[:, 2])
+    return wproj_gridder(bank_conj, (n, n), uvw1 / lam, wbin,
+                         wt.astype(vis.dtype) * vis1, chunk=chunk, init=grid)
+
+
+@partial(complex_safe_jit, static_argnames=())
+def _wfinish(grid):
+    img = jnp.real(ifft_centered(make_grid_hermitian(grid)))
+    return img, jnp.max(img)
+
+
+def w_gridding_checkpointed(
+    wfile: str,
+    datfile: str,
+    checkpoint: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    slab: int = 1 << 18,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    _max_slabs: Optional[int] = None,
+):
+    """Resumable w-projection imaging: slab-granular checkpoint/resume.
+
+    After each ``slab`` visibilities the partial uv-grid is written
+    atomically to ``checkpoint``; an interrupted run picks up from the
+    last completed slab (the reference has no persistence at all —
+    SURVEY §5).  ``_max_slabs`` is a test hook that stops early, simulating
+    an interruption.  Returns (image max, image) or (None, None) if
+    stopped early.
+    """
+    from ..utils import checkpoint as ckpt
+
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+    n_grid = int(round(theta * lam))
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/wkern"):
+        wkerns, wbins = get_wkernels(wfile, theta)
+    n = n if n is not None else data.vis.shape[0]
+    bank_conj = np.conj(np.asarray(wkerns, prec.np_complex))
+    wbins = np.asarray(wbins, prec.np_real)
+
+    # global uniform weighting over the full run (slab-independent)
+    uvw_l = np.asarray(
+        uvw_lambda(jnp.asarray(data.frequency, prec.np_real),
+                   jnp.asarray(data.uvw[:n], prec.np_real))
+    )
+    wt = np.asarray(
+        doweight(theta, lam, jnp.asarray(uvw_l),
+                 jnp.ones(n, prec.np_real))
+    ).real.astype(prec.np_real)
+
+    state = ckpt.load(checkpoint, n_grid, n)
+    if state is not None:
+        g_re, g_im, start = state
+        g_re = g_re.astype(prec.np_real)
+        g_im = g_im.astype(prec.np_real)
+    else:
+        g_re = np.zeros((n_grid, n_grid), prec.np_real)
+        g_im = np.zeros((n_grid, n_grid), prec.np_real)
+        start = 0
+
+    slabs_done = 0
+    s0 = start
+    while s0 < n:
+        take = min(slab, n - s0)
+        # fixed slab shape (zero-weight padding) → one compiled program
+        uvw_s = np.zeros((slab, 3), prec.np_real)
+        wt_s = np.zeros((slab,), prec.np_real)
+        vis_s = np.zeros((slab,), prec.np_complex)
+        uvw_s[:take] = uvw_l[s0:s0 + take]
+        wt_s[:take] = wt[s0:s0 + take]
+        vis_s[:take] = np.asarray(data.vis[s0:s0 + take], prec.np_complex)
+        with timer.phase("grid/slab"):
+            g = _wgrid_slab(
+                bank_conj, wbins, uvw_s, wt_s, vis_s,
+                (g_re + 1j * g_im).astype(prec.np_complex),
+                theta=theta, lam=lam, chunk=min(8192, slab),
+            )
+            g_re = np.real(np.asarray(g)).astype(prec.np_real)
+            g_im = np.imag(np.asarray(g)).astype(prec.np_real)
+        s0 += take
+        with timer.phase("checkpoint/write"):
+            ckpt.save(checkpoint, g_re, g_im, s0, n)
+        slabs_done += 1
+        if _max_slabs is not None and slabs_done >= _max_slabs and s0 < n:
+            return None, None
+
+    with timer.phase("finish/fft"):
+        img, mx = _wfinish((g_re + 1j * g_im).astype(prec.np_complex))
+        img = np.asarray(img)
+        mx = float(mx)
+    if outfile is not None:
+        with timer.phase("write/img"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, schema.IMG_DATASET,
+                             img.astype(np.float64))
+    if os.path.exists(checkpoint):
+        os.remove(checkpoint)
     return mx, img

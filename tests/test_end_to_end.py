@@ -199,3 +199,83 @@ class TestOtherPipelines:
         assert res.image.shape == (n, n)
         assert float(res.psf.max()) == pytest.approx(1.0)  # PSF normalized
         assert np.isfinite(np.asarray(res.image)).all()
+
+
+class TestPredict:
+    def test_predict_roundtrip_cli(self, tmp_path, rng):
+        """image → predict → vis: run the full CLI predict workflow."""
+        import subprocess, sys, os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "4", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        img = str(tmp_path / "dirty.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "w",
+             "-i", d, "--all", "-o", img, "--backend", "cpu",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        out = str(tmp_path / "pred.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "predict",
+             "-i", d, "--all", "--model", img, "-o", out,
+             "--backend", "cpu", "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "peak |vis|" in r.stdout
+        from ska_sdp_tpu.io import h5
+
+        pred = np.asarray(h5.read_dataset(out, "/vis/model"))
+        assert pred.ndim == 1 and pred.size > 0
+        assert np.isfinite(pred).all() and np.abs(pred).max() > 0
+
+
+class TestCheckpointResume:
+    def test_resume_matches_single_shot(self, tmp_path, rng):
+        import subprocess, sys, os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "8", "--ntime", "6", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+
+        from ska_sdp_tpu.config import GridParams, ImagingConfig
+        from ska_sdp_tpu.models import dataset as ds
+
+        cfg = ImagingConfig(grid=GridParams(theta=0.05, lam=1600),
+                            precision_name="double")
+        wk = os.path.join(d, "wkern.h5")
+        vi = os.path.join(d, "vis.h5")
+        ck = str(tmp_path / "run.ckpt.h5")
+
+        mx0, img0 = ds.w_gridding(wk, vi, config=cfg)
+
+        # interrupted run: one slab, then resume to completion
+        mx1, img1 = ds.w_gridding_checkpointed(
+            wk, vi, ck, slab=64, config=cfg, _max_slabs=1
+        )
+        assert mx1 is None and os.path.exists(ck)
+        mx2, img2 = ds.w_gridding_checkpointed(
+            wk, vi, ck, slab=64, config=cfg
+        )
+        assert not os.path.exists(ck)      # cleaned up on success
+        np.testing.assert_allclose(img2, img0, rtol=1e-10, atol=1e-12)
+        assert abs(mx2 - mx0) < 1e-10
