@@ -94,8 +94,10 @@ def w_cache_imaging(
     wbin = ((jnp.asarray(roundedw.astype(np.float64)) - minw) // wstep).astype(
         jnp.int32
     )
-    guv = _empty_grid(theta, lam, vis.dtype)
-    return convgrid_wproj(bank, guv, uvw / lam, wbin, vis, chunk=chunk)
+    from ..kernels import wproj_gridder
+
+    n = int(round(theta * lam))
+    return wproj_gridder(bank, (n, n), uvw / lam, wbin, vis, chunk=chunk)
 
 
 def wproj_imaging_from_bank(
@@ -106,9 +108,11 @@ def wproj_imaging_from_bank(
     The per-visibility bin is the closest center in w (reference
     ``findClosest`` use at Gridding.hs:474).
     """
-    guv = _empty_grid(theta, lam, vis.dtype)
+    from ..kernels import wproj_gridder
+
     wbin = find_closest(wbin_centers, uvw[:, 2])
-    return convgrid_wproj(bank, guv, uvw / lam, wbin, vis, chunk=chunk)
+    n = int(round(theta * lam))
+    return wproj_gridder(bank, (n, n), uvw / lam, wbin, vis, chunk=chunk)
 
 
 def aw_imaging(
