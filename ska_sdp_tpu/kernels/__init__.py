@@ -92,6 +92,20 @@ def aw_gridder(wkerns, akerns, guv, p, wbin, a1, a2, vis,
     if impl == "auto":
         impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
     if impl == "pallas":
+        nant = akerns.shape[0]
+        m = 2 * wkerns.shape[-1] + 2   # next_pow2(2s-1) lower bound probe
+        # fused kernel needs VMEM-resident pair + w-tap spectral tables
+        fits = (nant * nant <= 16384
+                and (wkerns.shape[0] * wkerns.shape[1] ** 2) <= 4096)
+        if fits:
+            try:
+                from .aw_fused_pallas import convgrid_aw_fused
+
+                return convgrid_aw_fused(
+                    wkerns, akerns, guv, p, wbin, a1, a2, vis
+                )
+            except ImportError:
+                pass
         try:
             from .patch_scatter_pallas import convgrid_aw_pallas
 

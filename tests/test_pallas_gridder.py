@@ -223,3 +223,34 @@ class TestPatchScatterAW:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
         )
+
+
+class TestFusedAW:
+    """Fully fused AW kernel (VMEM spectra + MXU sandwiches) vs XLA."""
+
+    def test_matches_xla_convgrid_aw(self, rng):
+        from ska_sdp_tpu.kernels.aw_fused_pallas import convgrid_aw_fused
+
+        nant, nw, qpx, s = 6, 3, 4, 15
+        H = W = 400
+        b = 900
+        wk = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        ak = jnp.asarray(_rand_cplx(rng, (nant, s, s)).astype(np.complex64))
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        a1 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        a2 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+        guv = jnp.zeros((H, W), jnp.complex64)
+
+        got = convgrid_aw_fused(
+            wk, ak, guv, p, wbin, a1, a2, vis, interpret=True
+        )
+        want = ops.convgrid_aw(wk, ak, guv, p, wbin, a1, a2, vis, chunk=128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
