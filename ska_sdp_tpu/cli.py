@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--trace-dir", default=None, help="write jax.profiler traces here"
     )
+    p.add_argument(
+        "--metrics", default=None,
+        help="append structured JSON-lines metrics to this file",
+    )
+    p.add_argument(
+        "--xla-dump", default=None, metavar="DIR",
+        help="dump XLA/Mosaic compiler artifacts (HLO, asm) to DIR",
+    )
     p.add_argument("--checkpoint", default=None,
                    help="resumable run: checkpoint .h5 path (--mode w)")
     p.add_argument("--slab", type=int, default=1 << 18,
@@ -67,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.xla_dump:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_dump_to={args.xla_dump}"
+        )
     if args.backend == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
@@ -98,6 +111,10 @@ def main(argv=None) -> int:
         print(f"wrote {paths} ({obs['n']} visibilities)")
         return 0
 
+    from .utils.metrics import MetricsSink
+
+    metrics = MetricsSink(args.metrics)
+    metrics.emit("run/start", mode=args.mode, n=args.n, all=args.all)
     cfg = ImagingConfig(
         grid=GridParams(theta=args.theta, lam=args.lam),
         precision_name=args.precision,
@@ -115,6 +132,17 @@ def main(argv=None) -> int:
         if not os.path.exists(f):
             print(f"error: input file not found: {f}", file=sys.stderr)
             return 1
+
+    try:
+        return _dispatch(args, cfg, timer, metrics,
+                         vis_path, wkern_path, akern_path)
+    except (FileNotFoundError, ValueError, KeyError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
+    from .models import dataset as ds
 
     if args.mode == "predict":
         if not args.model:
@@ -175,6 +203,7 @@ def main(argv=None) -> int:
                 args.output, schema.IMG_DATASET, np.asarray(res.image)
             )
     print(f"image max: {mx}")
+    metrics.emit("run/done", image_max=mx, phases=timer.times)
     return 0
 
 

@@ -4,6 +4,8 @@ Asserts the partial-grid psum design gives bit-level agreement with the
 single-device pipeline (modulo scatter-order — exact in f64 for these sizes).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -155,3 +157,69 @@ class TestShardedFFT:
             jnp.real(ifft_centered(make_grid_hermitian(guv)))
         )
         np.testing.assert_allclose(img_grid_fft, want, rtol=1e-9, atol=1e-11)
+
+
+_DIST_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from ska_sdp_tpu.parallel.distributed import initialize, make_host_vis_mesh
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+initialize()  # env-driven: SKA_SDP_TPU_COORDINATOR/_NPROCS/_PROC_ID
+assert jax.process_count() == 2, jax.process_count()
+mesh = make_host_vis_mesh()
+assert mesh.devices.shape == (2, 4), mesh.devices.shape
+
+# global psum over the 2-D ("host", "vis") mesh: every process contributes
+def local(x):
+    s = jax.lax.psum(jnp.sum(x), ("host", "vis"))
+    return s.reshape(1)
+
+n_global = 8 * 16
+x = jnp.arange(n_global, dtype=jnp.float32)
+fn = shard_map(local, mesh=mesh, in_specs=P(("host", "vis")),
+               out_specs=P(("host", "vis")))
+out = np.asarray(jax.jit(fn)(x).addressable_shards[0].data)
+expect = n_global * (n_global - 1) / 2
+assert abs(out[0] - expect) < 1e-3, (out, expect)
+print("DIST_OK", flush=True)
+"""
+
+
+class TestMultiProcessDistributed:
+    def test_two_process_psum(self, tmp_path):
+        """Real multi-host path: 2 OS processes, jax.distributed, one psum."""
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        script = tmp_path / "worker.py"
+        script.write_text(_DIST_WORKER)
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update(
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                PYTHONPATH=os.getcwd(),
+                SKA_SDP_TPU_COORDINATOR=f"127.0.0.1:{port}",
+                SKA_SDP_TPU_NPROCS="2",
+                SKA_SDP_TPU_PROC_ID=str(pid),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env,
+            ))
+        outs = [p.communicate(timeout=180) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-2000:]
+            assert "DIST_OK" in out
