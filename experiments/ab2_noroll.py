@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.coords import frac_coords
+from ska_sdp_tpu.ops.coords import frac_coords
 
 # Tile geometry (coarse-grid coordinates). PAD must be >= kernel support so
 # a patch anchored anywhere in a TY×TX tile stays inside the halo'd scratch.
@@ -61,7 +61,7 @@ TY, TX = 128, 256
 PAD = 16          # sublane halo
 PADX = 128        # lane halo (coarse columns)
 CHUNK = 256       # visibility records per DMA block
-UNROLL = 32
+UNROLL = 16
 
 
 def _align(x: int, m: int) -> int:
@@ -101,18 +101,12 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
         nk = bank_a_ref.shape[0]
 
         def _compute(i):
-            # out-of-range records (boundary blocks shared with the
-            # neighbouring tile) are neutralized by zeroing their
-            # visibility — two scalar selects instead of a pl.when branch
-            # around the store (+18% measured; Mosaic pipelines the
-            # branch-free stream much better)
-            in_r = (i >= lo) & (i < hi)
             y0 = recs_s[0, i].astype(jnp.int32)
             x0 = recs_s[1, i].astype(jnp.int32)
             k = recs_s[2, i].astype(jnp.int32)
             k = jnp.minimum(k, jnp.int32(nk - 1))
-            vr = jnp.where(in_r, recs_s[3, i], 0.0)
-            vi = jnp.where(in_r, recs_s[4, i], 0.0)
+            vr = recs_s[3, i]
+            vi = recs_s[4, i]
             patch = vr * bank_a_ref[k] + vi * bank_b_ref[k]
             r = jax.lax.rem(y0, jnp.int32(8))
             x2 = x0 * 2
@@ -120,14 +114,17 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
             y0a = pl.multiple_of(y0 - r, 8)
             x2a = pl.multiple_of(x2 - rem, 128)
             patch = jnp.pad(patch, ((0, SH - gh), (0, SW - 2 * gw)))
-            patch = pltpu.roll(pltpu.roll(patch, r, 0), rem, 1)
             return patch, y0a, x2a
 
         def vis_body(iu, _):
             items = [_compute(iu * UNROLL + u) for u in range(UNROLL)]
             for u, (patch, y0a, x2a) in enumerate(items):
+                i = iu * UNROLL + u
                 tgt = acc if u % 2 == 0 else acc2
-                tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
+
+                @pl.when((i >= lo) & (i < hi))
+                def _(patch=patch, y0a=y0a, x2a=x2a, tgt=tgt):
+                    tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
 
             return 0
 

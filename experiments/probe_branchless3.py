@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.coords import frac_coords
+from ska_sdp_tpu.ops.coords import frac_coords
 
 # Tile geometry (coarse-grid coordinates). PAD must be >= kernel support so
 # a patch anchored anywhere in a TY×TX tile stays inside the halo'd scratch.
@@ -61,7 +61,7 @@ TY, TX = 128, 256
 PAD = 16          # sublane halo
 PADX = 128        # lane halo (coarse columns)
 CHUNK = 256       # visibility records per DMA block
-UNROLL = 32
+UNROLL = 16
 
 
 def _align(x: int, m: int) -> int:
@@ -95,24 +95,16 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
         cp = pltpu.make_async_copy(recs_hbm.at[b], recs_s, sems.at[0])
         cp.start()
         cp.wait()
-        lo = jnp.maximum(start - b * CHUNK, 0)
-        hi = jnp.minimum(end - b * CHUNK, CHUNK)
 
         nk = bank_a_ref.shape[0]
 
         def _compute(i):
-            # out-of-range records (boundary blocks shared with the
-            # neighbouring tile) are neutralized by zeroing their
-            # visibility — two scalar selects instead of a pl.when branch
-            # around the store (+18% measured; Mosaic pipelines the
-            # branch-free stream much better)
-            in_r = (i >= lo) & (i < hi)
             y0 = recs_s[0, i].astype(jnp.int32)
             x0 = recs_s[1, i].astype(jnp.int32)
             k = recs_s[2, i].astype(jnp.int32)
             k = jnp.minimum(k, jnp.int32(nk - 1))
-            vr = jnp.where(in_r, recs_s[3, i], 0.0)
-            vi = jnp.where(in_r, recs_s[4, i], 0.0)
+            vr = recs_s[3, i]
+            vi = recs_s[4, i]
             patch = vr * bank_a_ref[k] + vi * bank_b_ref[k]
             r = jax.lax.rem(y0, jnp.int32(8))
             x2 = x0 * 2
@@ -134,10 +126,8 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
         jax.lax.fori_loop(0, CHUNK // UNROLL, vis_body, 0, unroll=False)
         return 0
 
-    nblocks = jnp.where(
-        end > start, (end - jnp.int32(1)) // CHUNK - b_lo + 1, 0
-    )
-    jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
+    jax.lax.fori_loop(0, (end - start) // CHUNK, chunk_body, 0,
+                      unroll=False)
 
     out_ref[0] = acc[:] + acc2[:]
 
@@ -202,12 +192,24 @@ def _preprocess(grid_shape, qpx: int, gh: int, gw: int, p, wbin, vis_re,
 
     # pad to whole blocks; block-index DMA needs no lane-offset alignment
     n = recs.shape[1]
-    n_pad = _align(max(n, 1), CHUNK)
-    recs = jnp.pad(recs, ((0, 0), (0, n_pad - n)))
-    recs = recs.reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
-
     starts = jnp.searchsorted(t_s, jnp.arange(ntiles + 1)).astype(jnp.int32)
-    return recs, starts, (Hp, Wp, nty, ntx)
+    counts = starts[1:] - starts[:-1]
+    counts_pad = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    starts_pad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_pad).astype(jnp.int32)]
+    )
+    n_pad = _align(max(n, 1), CHUNK) + ntiles * CHUNK
+
+    j = jnp.arange(n_pad, dtype=jnp.int32)
+    tj = jnp.searchsorted(starts_pad, j, side="right") - 1
+    tj = jnp.clip(tj, 0, ntiles - 1)
+    local = j - starts_pad[tj]
+    ok = local < counts[tj]
+    srcj = jnp.where(ok, starts[tj] + local, 0)
+    recs_p = jnp.pad(recs, ((0, 0), (0, n_pad - n)))
+    recs_p = recs_p.reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
+    return recs_p, starts_pad, (Hp, Wp, nty, ntx)
 
 
 def _interleave_bank(bank_re, bank_im):

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.coords import frac_coords
+from ska_sdp_tpu.ops.coords import frac_coords
 
 # Tile geometry (coarse-grid coordinates). PAD must be >= kernel support so
 # a patch anchored anywhere in a TY×TX tile stays inside the halo'd scratch.
@@ -61,7 +61,7 @@ TY, TX = 128, 256
 PAD = 16          # sublane halo
 PADX = 128        # lane halo (coarse columns)
 CHUNK = 256       # visibility records per DMA block
-UNROLL = 32
+UNROLL = 16
 
 
 def _align(x: int, m: int) -> int:
@@ -101,11 +101,6 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
         nk = bank_a_ref.shape[0]
 
         def _compute(i):
-            # out-of-range records (boundary blocks shared with the
-            # neighbouring tile) are neutralized by zeroing their
-            # visibility — two scalar selects instead of a pl.when branch
-            # around the store (+18% measured; Mosaic pipelines the
-            # branch-free stream much better)
             in_r = (i >= lo) & (i < hi)
             y0 = recs_s[0, i].astype(jnp.int32)
             x0 = recs_s[1, i].astype(jnp.int32)

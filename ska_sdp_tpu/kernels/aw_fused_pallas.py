@@ -123,10 +123,11 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
 
             for j in range(UNROLL):
                 i = i0 + j
+                in_r = (i >= lo) & (i < hi)
                 y0 = recs_s[0, i].astype(jnp.int32)
                 x0 = recs_s[1, i].astype(jnp.int32)
-                vr = recs_s[4, i]
-                vi = recs_s[5, i]
+                vr = jnp.where(in_r, recs_s[4, i], 0.0)
+                vi = jnp.where(in_r, recs_s[5, i], 0.0)
                 pj = i_all[j * ROWSP:(j + 1) * ROWSP]      # (16, 2s)
                 patch = vr * pj + vi * _swapneg(pj)
                 r = jax.lax.rem(y0, jnp.int32(8))
@@ -137,10 +138,7 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
                 patch = jnp.pad(patch, ((0, SH - ROWSP), (0, SW - 2 * s)))
                 patch = pltpu.roll(pltpu.roll(patch, r, 0), rem, 1)
                 tgt = acc if j % 2 == 0 else acc2
-
-                @pl.when((i >= lo) & (i < hi))
-                def _(patch=patch, y0a=y0a, x2a=x2a, tgt=tgt):
-                    tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
+                tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
 
             return 0
 

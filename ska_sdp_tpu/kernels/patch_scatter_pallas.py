@@ -63,10 +63,12 @@ def _kernel(starts_ref, recs_hbm, patches_hbm, out_ref, recs_s, patches_s,
         hi = jnp.minimum(end - b * CHUNK, CHUNK)
 
         def _compute(i, u):
+            in_r = (i >= lo) & (i < hi)
             y0 = recs_s[0, i].astype(jnp.int32)
             x0 = recs_s[1, i].astype(jnp.int32)
             off = pl.multiple_of(u * PR, PR)              # 16-aligned sublane
             patch = patches_s[pl.ds(off, PR), :]          # (PR, 128)
+            patch = jnp.where(in_r, patch, 0.0)
             r = jax.lax.rem(y0, jnp.int32(8))
             x2 = x0 * 2
             rem = jax.lax.rem(x2, jnp.int32(128))
@@ -82,12 +84,8 @@ def _kernel(starts_ref, recs_hbm, patches_hbm, out_ref, recs_s, patches_s,
                 for u in range(UNROLL)
             ]
             for u, (patch, y0a, x2a) in enumerate(items):
-                i = iu * UNROLL + u
                 tgt = acc if u % 2 == 0 else acc2
-
-                @pl.when((i >= lo) & (i < hi))
-                def _(patch=patch, y0a=y0a, x2a=x2a, tgt=tgt):
-                    tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
+                tgt[pl.ds(y0a, SH), pl.ds(x2a, SW)] += patch
 
             return 0
 
