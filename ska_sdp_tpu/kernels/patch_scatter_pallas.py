@@ -129,10 +129,15 @@ def _preprocess(grid_shape, gh, gw, p, patches_inter):
     recs = jnp.pad(recs, ((0, 0), (0, n_pad - n)))
     recs = recs.reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
 
-    pk = jnp.where(valid[order, None, None], patches_inter[order], 0.0)
-    pk = jnp.pad(
-        pk, ((0, n_pad - n), (0, PR - pk.shape[1]), (0, 128 - pk.shape[2]))
+    # pad the minor dims to a full (PR, 128) tile BEFORE the gather: takes
+    # with a sub-128 minor dimension run ~15-50x below HBM bandwidth
+    pk_full = jnp.pad(
+        patches_inter,
+        ((0, 0), (0, PR - patches_inter.shape[1]),
+         (0, 128 - patches_inter.shape[2])),
     )
+    pk = jnp.where(valid[order, None, None], pk_full[order], 0.0)
+    pk = jnp.pad(pk, ((0, n_pad - n), (0, 0), (0, 0)))
     pk = pk.reshape(n_pad // CHUNK, CHUNK * PR, 128)
 
     starts = jnp.searchsorted(t_s, jnp.arange(ntiles + 1)).astype(jnp.int32)

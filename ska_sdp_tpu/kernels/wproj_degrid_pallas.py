@@ -174,15 +174,28 @@ def _preprocess(grid_shape, qpx, gh, gw, p, wbin):
     )
     n_pad = _align(max(n, 1), CHUNK) + ntiles * CHUNK
 
+    # per-slot tile id / range lookups via boundary-scatter + cumsum —
+    # searchsorted over n_pad and any sub-128-minor-dim gather run 15-50×
+    # below HBM bandwidth on TPU (BENCH.md), so neither is used here
+    def spread(vals_at_tile_starts):
+        buf = jnp.zeros((n_pad,), jnp.int32)
+        deltas = vals_at_tile_starts - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), vals_at_tile_starts[:-1]]
+        )
+        buf = buf.at[starts_pad[:-1]].add(deltas)
+        return jnp.cumsum(buf)
+
     j = jnp.arange(n_pad, dtype=jnp.int32)
-    tj = jnp.searchsorted(starts_pad, j, side="right") - 1
-    tj = jnp.clip(tj, 0, ntiles - 1)
-    local = j - starts_pad[tj]
-    ok = local < counts[tj]
-    src = jnp.where(ok, starts[tj] + local, 0)
-    recs_p = jnp.where(ok[None, :], recs[:, src], 0.0)
-    recs_p = jnp.concatenate(
-        [recs_p, jnp.zeros((5, n_pad), jnp.float32)], axis=0
+    starts_pad_j = spread(starts_pad[:-1])
+    starts_j = spread(starts[:-1])
+    counts_j = spread(counts)
+    local = j - starts_pad_j
+    ok = local < counts_j
+    src = jnp.where(ok, starts_j + local, 0)
+    okf = ok.astype(jnp.float32)
+    recs_p = jnp.stack(
+        [recs[0][src] * okf, recs[1][src] * okf, recs[2][src] * okf]
+        + [jnp.zeros((n_pad,), jnp.float32)] * 5
     )
     recs_p = recs_p.reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
 
