@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resumable run: checkpoint .h5 path (--mode w)")
     p.add_argument("--slab", type=int, default=1 << 18,
                    help="visibilities per checkpoint slab")
+    p.add_argument("--out-of-core", action="store_true",
+                   help="stream visibility slabs from disk with background "
+                        "prefetch (requires --checkpoint; --mode w)")
     p.add_argument("--model", default=None,
                    help="model image .h5 (/img) for --mode predict")
     p.add_argument("--theta", type=float, default=0.008)
@@ -161,7 +164,12 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             outfile=args.output, old=args.old, config=cfg, timer=timer,
         )
     elif args.mode == "w":
-        if args.checkpoint:
+        if args.checkpoint and args.out_of_core:
+            mx, _ = ds.w_gridding_out_of_core(
+                wkern_path, vis_path, args.checkpoint, n=cfg.n_vis,
+                outfile=args.output, slab=args.slab, config=cfg, timer=timer,
+            )
+        elif args.checkpoint:
             mx, _ = ds.w_gridding_checkpointed(
                 wkern_path, vis_path, args.checkpoint, n=cfg.n_vis,
                 outfile=args.output, slab=args.slab, config=cfg, timer=timer,

@@ -55,6 +55,15 @@ def read_dataset(path, name, dtype=None):
     return _resolve().read_dataset(path, name, dtype=dtype)
 
 
+def read_dataset_slice(path, name, start, count, dtype=None):
+    """Leading-axis slice read (out-of-core ingest).
+
+    The native C++ backend reads whole datasets (matching the reference's
+    C1 API); slice reads go through h5py regardless of backend selection.
+    """
+    return h5py_backend.read_dataset_slice(path, name, start, count, dtype)
+
+
 def read_datasets_stacked(path, names, dtype=None):
     return _resolve().read_datasets_stacked(path, names, dtype=dtype)
 

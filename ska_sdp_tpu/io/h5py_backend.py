@@ -30,6 +30,14 @@ def read_dataset(path: str, name: str, dtype=None) -> np.ndarray:
     return arr if dtype is None else arr.astype(dtype)
 
 
+def read_dataset_slice(path: str, name: str, start: int, count: int,
+                       dtype=None) -> np.ndarray:
+    """Read rows [start, start+count) along the leading axis."""
+    with h5py.File(fix_ext(path), "r") as f:
+        arr = np.asarray(f[name][start:start + count])
+    return arr if dtype is None else arr.astype(dtype)
+
+
 def read_datasets_stacked(path: str, names, dtype=None) -> np.ndarray:
     """Read a list of equal-shape datasets into one rank+1 array.
 

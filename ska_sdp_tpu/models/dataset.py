@@ -426,3 +426,125 @@ def w_gridding_checkpointed(
     if os.path.exists(checkpoint):
         os.remove(checkpoint)
     return mx, img
+
+
+def _flat_vis_reader(datfile: str, nbl: int):
+    """Reader for flat-order slices of the rank-3 /vis/vis block."""
+
+    def read(start: int, count: int) -> np.ndarray:
+        t0 = start // nbl
+        t1 = (start + count - 1) // nbl + 1
+        block = h5.read_dataset_slice(
+            datfile, schema.VIS_VIS, t0, t1 - t0
+        ).reshape(-1)
+        off = start - t0 * nbl
+        return block[off:off + count]
+
+    return read
+
+
+def w_gridding_out_of_core(
+    wfile: str,
+    datfile: str,
+    checkpoint: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    slab: int = 1 << 18,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+):
+    """Streaming w-projection imaging for datasets larger than memory.
+
+    Two streaming passes over the visibility file with a background
+    prefetch thread (``io.stream.SlabPrefetcher``) so HDF5 reads overlap
+    device compute — the reference loads whole datasets up front
+    (``ImageDataset.hs:36-41``); SURVEY §7 hard part (e).  Pass 1
+    accumulates the uniform-weighting cell histogram; pass 2 grids
+    weighted slabs, checkpointing after each (same checkpoint format and
+    resume semantics as :func:`w_gridding_checkpointed`).
+    """
+    from ..io.stream import SlabPrefetcher
+    from ..utils import checkpoint as ckpt
+    from ..utils.oracle import frac_coord as frac_coord_np
+
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+    n_grid = int(round(theta * lam))
+
+    _require_file(datfile)
+    vshape = h5.dataset_shape(datfile, schema.VIS_VIS)
+    n_total = int(np.prod(vshape))
+    nbl = int(np.prod(vshape[1:]))
+    n = min(n, n_total) if n is not None else n_total
+    freq = float(
+        np.asarray(h5.read_dataset(datfile, schema.VIS_FREQUENCY)).ravel()[0]
+    )
+    with timer.phase("ingest/wkern"):
+        wkerns, wbins = get_wkernels(wfile, theta)
+    bank_conj = np.conj(np.asarray(wkerns, prec.np_complex))
+    wbins = np.asarray(wbins, prec.np_real)
+
+    scale = freq / 299792458.0
+    uvw_reader = lambda s0, c: h5.read_dataset_slice(
+        datfile, schema.VIS_UVW, s0, c
+    )
+
+    # pass 1: uniform-weighting occupancy histogram (streaming, host)
+    with timer.phase("weight/histogram"):
+        counts = np.zeros(n_grid * n_grid, np.int64)
+        for s0, sl in SlabPrefetcher({"uvw": uvw_reader}, n, slab):
+            uvw_l = sl["uvw"] * scale
+            x, _ = frac_coord_np(n_grid, 1, uvw_l[:, 0] / lam)
+            y, _ = frac_coord_np(n_grid, 1, uvw_l[:, 1] / lam)
+            np.add.at(counts, y * n_grid + x, 1)
+        counts[counts == 0] = 1
+
+    state = ckpt.load(checkpoint, n_grid, n)
+    if state is not None:
+        g_re, g_im, start = state
+        g_re = g_re.astype(prec.np_real)
+        g_im = g_im.astype(prec.np_real)
+    else:
+        g_re = np.zeros((n_grid, n_grid), prec.np_real)
+        g_im = np.zeros((n_grid, n_grid), prec.np_real)
+        start = 0
+
+    # pass 2: stream + grid (prefetch overlaps device compute)
+    readers = {"uvw": uvw_reader, "vis": _flat_vis_reader(datfile, nbl)}
+    for s0, sl in SlabPrefetcher(readers, n, slab, start=start):
+        take = sl["uvw"].shape[0]
+        uvw_l = (sl["uvw"] * scale).astype(prec.np_real)
+        x, _ = frac_coord_np(n_grid, 1, uvw_l[:, 0] / lam)
+        y, _ = frac_coord_np(n_grid, 1, uvw_l[:, 1] / lam)
+        wt = (1.0 / counts[y * n_grid + x]).astype(prec.np_real)
+
+        uvw_s = np.zeros((slab, 3), prec.np_real)
+        wt_s = np.zeros((slab,), prec.np_real)
+        vis_s = np.zeros((slab,), prec.np_complex)
+        uvw_s[:take] = uvw_l
+        wt_s[:take] = wt
+        vis_s[:take] = sl["vis"].astype(prec.np_complex)
+        with timer.phase("grid/slab"):
+            g = _wgrid_slab(
+                bank_conj, wbins, uvw_s, wt_s, vis_s,
+                (g_re + 1j * g_im).astype(prec.np_complex),
+                theta=theta, lam=lam, chunk=min(8192, slab),
+            )
+            g_re = np.real(np.asarray(g)).astype(prec.np_real)
+            g_im = np.imag(np.asarray(g)).astype(prec.np_real)
+        with timer.phase("checkpoint/write"):
+            ckpt.save(checkpoint, g_re, g_im, s0 + take, n)
+
+    with timer.phase("finish/fft"):
+        img, mx = _wfinish((g_re + 1j * g_im).astype(prec.np_complex))
+        img = np.asarray(img)
+        mx = float(mx)
+    if outfile is not None:
+        with timer.phase("write/img"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, schema.IMG_DATASET,
+                             img.astype(np.float64))
+    if os.path.exists(checkpoint):
+        os.remove(checkpoint)
+    return mx, img

@@ -279,3 +279,35 @@ class TestCheckpointResume:
         assert not os.path.exists(ck)      # cleaned up on success
         np.testing.assert_allclose(img2, img0, rtol=1e-10, atol=1e-12)
         assert abs(mx2 - mx0) < 1e-10
+
+
+class TestOutOfCore:
+    def test_streaming_matches_in_core(self, tmp_path, rng):
+        import subprocess, sys, os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "8", "--ntime", "6", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+
+        from ska_sdp_tpu.config import GridParams, ImagingConfig
+        from ska_sdp_tpu.models import dataset as ds
+
+        cfg = ImagingConfig(grid=GridParams(theta=0.05, lam=1600),
+                            precision_name="double")
+        wk = os.path.join(d, "wkern.h5")
+        vi = os.path.join(d, "vis.h5")
+        ck = str(tmp_path / "ooc.ckpt.h5")
+
+        mx0, img0 = ds.w_gridding(wk, vi, config=cfg)
+        mx1, img1 = ds.w_gridding_out_of_core(wk, vi, ck, slab=64,
+                                              config=cfg)
+        np.testing.assert_allclose(img1, img0, rtol=1e-10, atol=1e-12)
+        assert abs(mx1 - mx0) < 1e-10
