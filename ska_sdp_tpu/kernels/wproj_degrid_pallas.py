@@ -42,7 +42,7 @@ from ..ops.coords import frac_coords
 from .wproj_pallas import (CHUNK, PAD, PADX, TX, TY, _align, _geometry,
                            _interleave_bank)
 
-UNROLL = 8
+UNROLL = 16
 
 
 def _kernel(starts_ref, recs_hbm, tile_ref, bank_a_ref, bank_b_ref,
