@@ -156,6 +156,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             outfile=args.output, config=cfg, timer=timer,
         )
         print(f"predicted {pred.shape[0]} visibilities, peak |vis|: {peak}")
+        metrics.emit("run/done", peak_vis=peak, phases=timer.times)
         return 0
 
     if args.mode == "aw":
@@ -164,6 +165,10 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             outfile=args.output, old=args.old, config=cfg, timer=timer,
         )
     elif args.mode == "w":
+        if args.out_of_core and not args.checkpoint:
+            print("error: --out-of-core requires --checkpoint",
+                  file=sys.stderr)
+            return 1
         if args.checkpoint and args.out_of_core:
             mx, _ = ds.w_gridding_out_of_core(
                 wkern_path, vis_path, args.checkpoint, n=cfg.n_vis,

@@ -30,25 +30,50 @@ class SlabPrefetcher:
         self.total = total
         self.slab = slab
         self.start = start
+        self._stop = threading.Event()
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _run(self) -> None:
         try:
             for s0 in range(self.start, self.total, self.slab):
+                if self._stop.is_set():
+                    return
                 take = min(self.slab, self.total - s0)
                 slabs = {n: rd(s0, take) for n, rd in self.readers.items()}
-                self._q.put((s0, slabs))
-            self._q.put(None)
+                if not self._put((s0, slabs)):
+                    return
+            self._put(None)
         except Exception as e:          # surface errors on the consumer side
-            self._q.put(e)
+            self._put(e)
+
+    def close(self) -> None:
+        """Release the producer thread and its queued slabs."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self) -> Iterator[Tuple[int, dict]]:
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            self.close()

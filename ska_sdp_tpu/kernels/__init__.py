@@ -93,10 +93,13 @@ def aw_gridder(wkerns, akerns, guv, p, wbin, a1, a2, vis,
         impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
     if impl == "pallas":
         nant = akerns.shape[0]
-        m = 2 * wkerns.shape[-1] + 2   # next_pow2(2s-1) lower bound probe
-        # fused kernel needs VMEM-resident pair + w-tap spectral tables
+        s = wkerns.shape[-1]
+        m = 1 << (2 * s - 2).bit_length()      # next_pow2(2s-1)
+        # fused kernel needs VMEM-resident pair + w-tap spectral tables,
+        # 128-packable spectra, and kernels within the patch row spacing
         fits = (nant * nant <= 16384
-                and (wkerns.shape[0] * wkerns.shape[1] ** 2) <= 4096)
+                and (wkerns.shape[0] * wkerns.shape[1] ** 2) <= 4096
+                and (m * m) % 128 == 0 and 128 % m == 0 and s <= 16)
         if fits:
             try:
                 from .aw_fused_pallas import convgrid_aw_fused

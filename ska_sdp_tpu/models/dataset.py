@@ -423,8 +423,7 @@ def w_gridding_checkpointed(
             h5.create_file(outfile)
             h5.write_dataset(outfile, schema.IMG_DATASET,
                              img.astype(np.float64))
-    if os.path.exists(checkpoint):
-        os.remove(checkpoint)
+    ckpt.remove(checkpoint)
     return mx, img
 
 
@@ -490,14 +489,17 @@ def w_gridding_out_of_core(
         datfile, schema.VIS_UVW, s0, c
     )
 
-    # pass 1: uniform-weighting occupancy histogram (streaming, host)
+    # pass 1: uniform-weighting occupancy histogram (streaming, host).
+    # OOB semantics match the jnp path: scatter drops, gather clamps.
     with timer.phase("weight/histogram"):
         counts = np.zeros(n_grid * n_grid, np.int64)
         for s0, sl in SlabPrefetcher({"uvw": uvw_reader}, n, slab):
             uvw_l = sl["uvw"] * scale
             x, _ = frac_coord_np(n_grid, 1, uvw_l[:, 0] / lam)
             y, _ = frac_coord_np(n_grid, 1, uvw_l[:, 1] / lam)
-            np.add.at(counts, y * n_grid + x, 1)
+            flat = y * n_grid + x
+            inb = (flat >= 0) & (flat < n_grid * n_grid)
+            np.add.at(counts, flat[inb], 1)
         counts[counts == 0] = 1
 
     state = ckpt.load(checkpoint, n_grid, n)
@@ -517,7 +519,8 @@ def w_gridding_out_of_core(
         uvw_l = (sl["uvw"] * scale).astype(prec.np_real)
         x, _ = frac_coord_np(n_grid, 1, uvw_l[:, 0] / lam)
         y, _ = frac_coord_np(n_grid, 1, uvw_l[:, 1] / lam)
-        wt = (1.0 / counts[y * n_grid + x]).astype(prec.np_real)
+        flat = np.clip(y * n_grid + x, 0, n_grid * n_grid - 1)
+        wt = (1.0 / counts[flat]).astype(prec.np_real)
 
         uvw_s = np.zeros((slab, 3), prec.np_real)
         wt_s = np.zeros((slab,), prec.np_real)
@@ -545,6 +548,5 @@ def w_gridding_out_of_core(
             h5.create_file(outfile)
             h5.write_dataset(outfile, schema.IMG_DATASET,
                              img.astype(np.float64))
-    if os.path.exists(checkpoint):
-        os.remove(checkpoint)
+    ckpt.remove(checkpoint)
     return mx, img

@@ -150,11 +150,13 @@ def make_sharded_wproj_step_gridfft(mesh: Mesh, theta: float, lam: int,
                                     chunk: int = 1024):
     """Sharded step whose FFT is ALSO distributed (grid-parallel finish).
 
+    Same numerical step as :func:`make_sharded_wproj_step` (global
+    psum'd uniform weighting included) but the FFT is distributed:
     vis-sharded gridding → psum (grid replicated) → local hermitian →
     each device keeps its row block → pencil-decomposition centered
     inverse FFT (one all_to_all each way, riding ICI) → row-sharded dirty
-    image (gathered to replicated on return).  This is the scale-out path
-    for grids that outgrow a single chip's FFT (SURVEY §5: n = θ·λ).
+    image.  This is the scale-out path for grids that outgrow a single
+    chip's FFT (SURVEY §5: n = θ·λ).
 
     Requires n_grid divisible by mesh_size² (all_to_all re-split).
     """
@@ -170,11 +172,22 @@ def make_sharded_wproj_step_gridfft(mesh: Mesh, theta: float, lam: int,
 
     def local(bank_conj, centers, uvw, freq, vis):
         uvw_l = uvw_lambda(freq, uvw)
+        # global uniform weighting (same psum'd histogram as
+        # make_sharded_wproj_step — the two steps must agree numerically)
+        from ..ops.coords import frac_coords
+
+        p = uvw_l / lam
+        x, _, y, _ = frac_coords((n_grid, n_grid), 1, p)
+        flat = (y * n_grid + x).ravel()
+        counts = _varying_zeros((n_grid * n_grid,), uvw.dtype).at[flat].add(1.0)
+        counts = jax.lax.psum(counts, VIS_AXIS)
+        wt = (1.0 / counts[flat]).astype(vis.dtype)
+
         uvw1, vis1 = mirror_uvw(uvw_l, vis)
         wbin = find_closest(centers, uvw1[:, 2])
         guv = _varying_zeros((n_grid, n_grid), vis.dtype)
         part = wproj_gridder(bank_conj, (n_grid, n_grid), uvw1 / lam,
-                             wbin, vis1, chunk=chunk, init=guv)
+                             wbin, wt * vis1, chunk=chunk, init=guv)
         full = jax.lax.psum(part, VIS_AXIS)
         herm = make_grid_hermitian(full)
         row0 = jax.lax.axis_index(VIS_AXIS).astype(jnp.int32) * hl

@@ -22,6 +22,12 @@ import numpy as np
 
 from ..io import h5
 
+def _norm(path: str) -> str:
+    """The io façade appends .h5 to extension-less names (reference
+    fix_ext semantics); normalize once so save/load/exists agree."""
+    return path if path.endswith(".h5") else path + ".h5"
+
+
 GRID_RE = "/ckpt/grid_re"
 GRID_IM = "/ckpt/grid_im"
 NEXT = "/ckpt/next"
@@ -31,8 +37,7 @@ TOTAL = "/ckpt/total"
 def save(path: str, grid_re: np.ndarray, grid_im: np.ndarray, next_vis: int,
          total: int) -> None:
     """Atomically write a gridding checkpoint."""
-    # the io façade auto-appends .h5 (reference fix_ext semantics) — keep
-    # the tmp name a valid .h5 path so create/replace see the same file
+    path = _norm(path)
     tmp = path + ".tmp.h5"
     h5.create_file(tmp)
     h5.write_dataset(tmp, GRID_RE, np.asarray(grid_re, np.float64))
@@ -45,6 +50,7 @@ def save(path: str, grid_re: np.ndarray, grid_im: np.ndarray, next_vis: int,
 def load(path: str, n_grid: int,
          total: int) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
     """Load a checkpoint; None if absent or inconsistent with the run."""
+    path = _norm(path)
     if not os.path.exists(path):
         return None
     try:
@@ -59,3 +65,9 @@ def load(path: str, n_grid: int,
         return gre, gim, nxt
     except Exception:
         return None
+
+
+def remove(path: str) -> None:
+    path = _norm(path)
+    if os.path.exists(path):
+        os.remove(path)

@@ -132,29 +132,17 @@ class TestShardedFFT:
         )
         freq = jnp.asarray(299792458.0)
 
-        # the gridfft step skips doweight; compare against an equivalent
-        # replicated-FFT step without weighting by reusing sharded_wproj_image
-        from ska_sdp_tpu.parallel.sharded import sharded_wproj_image
-
+        # same step as make_sharded_wproj_step (incl. weighting), FFT
+        # distributed — the two must agree to fp precision
         img_grid_fft = np.asarray(
             make_sharded_wproj_step_gridfft(mesh, theta, lam, chunk=128)(
                 bank, centers, uvw, freq, vis
             )
         )
-        from ska_sdp_tpu.ops import (find_closest, ifft_centered,
-                                     make_grid_hermitian, mirror_uvw,
-                                     uvw_lambda, convgrid_wproj)
-
-        uvw_l = uvw_lambda(freq, uvw)
-        uvw1, vis1 = mirror_uvw(uvw_l, vis)
-        wbin = find_closest(centers, uvw1[:, 2])
-        n_grid = int(round(theta * lam))
-        guv = convgrid_wproj(
-            bank, jnp.zeros((n_grid, n_grid), vis.dtype), uvw1 / lam, wbin,
-            vis1, chunk=128,
-        )
         want = np.asarray(
-            jnp.real(ifft_centered(make_grid_hermitian(guv)))
+            make_sharded_wproj_step(mesh, theta, lam, chunk=128)(
+                bank, centers, uvw, freq, vis
+            )
         )
         np.testing.assert_allclose(img_grid_fft, want, rtol=1e-9, atol=1e-11)
 
