@@ -254,3 +254,63 @@ class TestFusedAW:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
         )
+
+
+    def test_small_kernel_shapes(self, rng):
+        # s=7 → m=16: packed tables still 128-packable; exercises the
+        # non-default pv=8, nrow=2 packing paths
+        from ska_sdp_tpu.kernels.aw_fused_pallas import convgrid_aw_fused
+
+        nant, nw, qpx, s = 4, 2, 2, 7
+        H = W = 256
+        b = 300
+        wk = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        ak = jnp.asarray(_rand_cplx(rng, (nant, s, s)).astype(np.complex64))
+        p = jnp.asarray(
+            rng.uniform(-0.45, 0.45, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        a1 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        a2 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+        guv = jnp.zeros((H, W), jnp.complex64)
+
+        got = convgrid_aw_fused(
+            wk, ak, guv, p, wbin, a1, a2, vis, interpret=True
+        )
+        want = ops.convgrid_aw(wk, ak, guv, p, wbin, a1, a2, vis, chunk=64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+
+    def test_dispatch_gate_falls_back_for_unpackable_kernels(self, rng):
+        # s=4 → m=8, m² % 128 != 0: aw_gridder must not crash, it falls
+        # back to the XLA path (on CPU) with identical semantics
+        import os
+
+        from ska_sdp_tpu.kernels import aw_gridder
+
+        os.environ["SKA_SDP_TPU_GRIDDER"] = "auto"
+        nant, nw, qpx, s = 3, 2, 2, 4
+        H = W = 128
+        b = 50
+        wk = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        ak = jnp.asarray(_rand_cplx(rng, (nant, s, s)).astype(np.complex64))
+        p = jnp.asarray(
+            rng.uniform(-0.4, 0.4, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        a1 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        a2 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+        guv = jnp.zeros((H, W), jnp.complex64)
+
+        got = aw_gridder(wk, ak, guv, p, wbin, a1, a2, vis)
+        want = ops.convgrid_aw(wk, ak, guv, p, wbin, a1, a2, vis, chunk=32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
