@@ -211,3 +211,89 @@ class TestMultiProcessDistributed:
         for p, (out, err) in zip(procs, outs):
             assert p.returncode == 0, err[-2000:]
             assert "DIST_OK" in out
+
+
+_INGEST_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from ska_sdp_tpu.parallel.distributed import initialize
+from ska_sdp_tpu.parallel.ingest import load_vis_sharded
+from ska_sdp_tpu.parallel.mesh import make_mesh
+from ska_sdp_tpu.parallel.sharded import make_sharded_wproj_step
+from ska_sdp_tpu.models.dataset import get_wkernels
+
+initialize()
+assert jax.process_count() == 2
+mesh = make_mesh()   # 1-D ("vis",) mesh over all 8 global devices
+
+d = os.environ["SKA_TEST_DATA"]
+theta, lam = 0.05, 1600
+uvw, vis, freq = load_vis_sharded(os.path.join(d, "vis.h5"), mesh)
+wk, centers = get_wkernels(os.path.join(d, "wkern.h5"), theta)
+bank = np.conj(np.asarray(wk, np.complex128))
+step = make_sharded_wproj_step(mesh, theta, lam, chunk=64)
+img = step(bank, np.asarray(centers), uvw, jnp.asarray(float(freq)), vis)
+mx = float(jnp.max(img))
+print(f"INGEST_OK {mx:.12e}", flush=True)
+"""
+
+
+class TestShardedIngest:
+    def test_two_process_sharded_ingest_imaging(self, tmp_path):
+        """Each process reads only its slice; global image matches 1-proc."""
+        import socket
+        import subprocess
+        import sys
+
+        env0 = dict(os.environ)
+        env0["JAX_PLATFORMS"] = "cpu"
+        env0["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "8", "--ntime", "8", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env0,
+        )
+        assert r.returncode == 0, r.stderr
+
+        # single-process reference (full load, all 8 local devices)
+        from ska_sdp_tpu.config import GridParams, ImagingConfig
+        from ska_sdp_tpu.models import dataset as ds
+
+        cfg = ImagingConfig(grid=GridParams(theta=0.05, lam=1600),
+                            precision_name="double")
+        mx_ref, _ = ds.w_gridding(os.path.join(d, "wkern.h5"),
+                                  os.path.join(d, "vis.h5"), config=cfg)
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        script = tmp_path / "worker.py"
+        script.write_text(_INGEST_WORKER)
+        procs = []
+        for pid in range(2):
+            env = dict(env0)
+            env.update(
+                XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                SKA_SDP_TPU_COORDINATOR=f"127.0.0.1:{port}",
+                SKA_SDP_TPU_NPROCS="2",
+                SKA_SDP_TPU_PROC_ID=str(pid),
+                SKA_TEST_DATA=d,
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env,
+            ))
+        outs = [p.communicate(timeout=240) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err[-2000:]
+            assert "INGEST_OK" in out, out
+            mx = float(out.strip().split()[-1])
+            # n here is divisible by the device count; only the psum
+            # reduction order differs from the single-process pipeline
+            assert abs(mx - mx_ref) / abs(mx_ref) < 1e-6, (mx, mx_ref)
