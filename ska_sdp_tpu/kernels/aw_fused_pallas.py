@@ -29,7 +29,6 @@ dual accumulators) is identical to ``wproj_pallas``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ Shares tile geometry constants with ``wproj_pallas``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

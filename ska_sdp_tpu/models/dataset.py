@@ -27,7 +27,6 @@ from ..config import ImagingConfig
 from ..io import h5, schema
 from ..kernels import wproj_gridder
 from ..ops import (
-    convgrid_wproj,
     doweight,
     find_closest,
     ifft_centered,

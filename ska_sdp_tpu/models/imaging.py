@@ -29,8 +29,6 @@ import jax.numpy as jnp
 from ..config import KernelOptions
 from ..ops import (
     convgrid,
-    convgrid_aw,
-    convgrid_wproj,
     doweight,
     find_closest,
     grid_nearest,

@@ -32,7 +32,7 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-from .fourier import extract_mid, fft_centered, ifft_centered, next_pow2, pad_mid
+from .fourier import extract_mid, next_pow2, pad_mid
 
 # Batched FFTs of tiny transforms are slow on TPU (XLA's FFT is not
 # MXU-mapped at these sizes: measured 0.76M 32² transforms/s on v5e).  For

@@ -29,7 +29,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

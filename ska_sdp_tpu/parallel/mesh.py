@@ -16,7 +16,7 @@ design (SURVEY §5 "Distributed communication backend"):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
