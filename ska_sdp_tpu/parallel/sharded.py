@@ -203,3 +203,31 @@ def make_sharded_wproj_step_gridfft(mesh: Mesh, theta: float, lam: int,
         out_specs=P(VIS_AXIS),   # dirty image stays row-sharded
     )
     return jax.jit(fn)
+
+
+def make_sharded_predict_step(mesh: Mesh, theta: float, lam: int,
+                              chunk: int = 1024):
+    """Jitted sharded predict: (bank, centers, image, uvw, freq) → vis.
+
+    The adjoint direction scaled out: the model image is replicated, each
+    chip degrids its visibility shard — embarrassingly parallel, zero
+    collectives.  Output visibilities stay sharded like the inputs.
+    """
+    from ..kernels import wproj_degridder
+    from ..ops import fft_centered
+
+    n_grid = int(round(theta * lam))
+
+    def local(bank, centers, img, uvw, freq):
+        uvw_l = uvw_lambda(freq, uvw)
+        grid = fft_centered(img.astype(bank.dtype))
+        wbin = find_closest(centers, uvw_l[:, 2])
+        return wproj_degridder(bank, grid, uvw_l / lam, wbin, chunk=chunk)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(VIS_AXIS), P()),
+        out_specs=P(VIS_AXIS),
+    )
+    return jax.jit(fn)

@@ -297,3 +297,39 @@ class TestShardedIngest:
             # n here is divisible by the device count; only the psum
             # reduction order differs from the single-process pipeline
             assert abs(mx - mx_ref) / abs(mx_ref) < 1e-6, (mx, mx_ref)
+
+
+class TestShardedPredict:
+    def test_sharded_predict_matches_local(self, rng):
+        from ska_sdp_tpu.config import KernelOptions
+        from ska_sdp_tpu.ops import (degrid_wproj, fft_centered,
+                                     find_closest, uvw_lambda, w_kernel_bank)
+        from ska_sdp_tpu.parallel.mesh import make_mesh
+        from ska_sdp_tpu.parallel.sharded import make_sharded_predict_step
+
+        mesh = make_mesh(8)
+        theta, lam = 0.02, 16000
+        nw, qpx, s = 4, 2, 15
+        n_vis = 512
+        n_grid = int(round(theta * lam))
+        opts = KernelOptions(qpx=qpx, npix_ff=64, npix_kern=s)
+        centers = jnp.linspace(-500.0, 500.0, nw)
+        bank = w_kernel_bank(theta, centers, opts).astype(jnp.complex128)
+        img = jnp.asarray(rng.standard_normal((n_grid, n_grid)))
+        uvw = rng.uniform(-0.4 * lam, 0.4 * lam, size=(n_vis, 3))
+        uvw[:, 2] = rng.uniform(-450, 450, size=n_vis)
+        uvw = jnp.asarray(uvw)
+        freq = jnp.asarray(299792458.0)
+
+        got = np.asarray(
+            make_sharded_predict_step(mesh, theta, lam, chunk=128)(
+                bank, centers, img, uvw, freq
+            )
+        )
+        uvw_l = uvw_lambda(freq, uvw)
+        grid = fft_centered(img.astype(bank.dtype))
+        wbin = find_closest(centers, uvw_l[:, 2])
+        want = np.asarray(
+            degrid_wproj(bank, grid, uvw_l / lam, wbin, chunk=128)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
