@@ -5,6 +5,7 @@ from .sharded import (
     make_sharded_predict_step,
     make_sharded_wproj_step,
     make_sharded_wproj_step_gridfft,
+    make_sharded_wproj_step_gridscatter,
     sharded_wproj_grid,
     sharded_wproj_image,
 )

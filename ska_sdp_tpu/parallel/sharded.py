@@ -231,3 +231,89 @@ def make_sharded_predict_step(mesh: Mesh, theta: float, lam: int,
         out_specs=P(VIS_AXIS),
     )
     return jax.jit(fn)
+
+
+def _hermitian_rows_sharded(block, n_grid: int, axis=VIS_AXIS):
+    """Distributed hermitian completion of a row-sharded even-size grid.
+
+    Reproduces ``ops.hermitian.make_grid_hermitian`` exactly without ever
+    materializing the full grid: the mirror's rows come from the opposite
+    device (one ppermute of the row-reversed block + one ppermute of a
+    single boundary row), the column mirror/zeroing is local.
+    """
+    P_ = jax.lax.axis_size(axis)
+    d = jax.lax.axis_index(axis)
+    h = block.shape[0]
+
+    # rows n−y for y in my range live (reversed) on device P−1−d …
+    flipped = jnp.flip(block, axis=0)
+    recv = jax.lax.ppermute(
+        flipped, axis, perm=[(s, P_ - 1 - s) for s in range(P_)]
+    )
+    # … except row n−d·h, which is the FIRST row of device (P−d) mod P
+    first = block[:1]
+    extra = jax.lax.ppermute(
+        first, axis, perm=[(s, (P_ - s) % P_) for s in range(P_)]
+    )
+    mrows = jnp.concatenate([extra, recv[: h - 1]], axis=0)
+    # global row 0 of the mirror is zeroed (even-grid reference semantics)
+    mrows = jnp.where(d == 0,
+                      mrows.at[0].set(0),
+                      mrows)
+    # column mirror x ← (n−x) mod n, col 0 zeroed — purely local
+    mirr = jnp.roll(jnp.flip(mrows, axis=1), 1, axis=1)
+    mirr = mirr.at[:, 0].set(0)
+    return block + jnp.conj(mirr)
+
+
+def make_sharded_wproj_step_gridscatter(mesh: Mesh, theta: float, lam: int,
+                                        chunk: int = 1024):
+    """Fully grid-distributed sharded step: the uv-grid NEVER materializes
+    on one device.
+
+    Identical numerics to :func:`make_sharded_wproj_step` but: partial
+    grids merge with ``psum_scatter`` (reduce_scatter — half the wire
+    traffic of psum, each chip keeps only its row block), hermitian
+    completion runs distributed (two ppermutes), and the centered inverse
+    FFT is the pencil-decomposition transform.  Memory and communication
+    per chip scale as n²/P — this is the large-grid path (SURVEY §5c).
+
+    Requires n_grid divisible by mesh_size².
+    """
+    from .fft import fft2_centered_sharded
+
+    n_grid = int(round(theta * lam))
+    n_dev = mesh.devices.size
+    if n_grid % (n_dev * n_dev) != 0:
+        raise ValueError(
+            f"grid {n_grid} not divisible by mesh_size² = {n_dev**2}"
+        )
+
+    def local(bank_conj, centers, uvw, freq, vis):
+        uvw_l = uvw_lambda(freq, uvw)
+        from ..ops.coords import frac_coords
+
+        p = uvw_l / lam
+        x, _, y, _ = frac_coords((n_grid, n_grid), 1, p)
+        flat = (y * n_grid + x).ravel()
+        counts = _varying_zeros((n_grid * n_grid,), uvw.dtype).at[flat].add(1.0)
+        counts = jax.lax.psum(counts, VIS_AXIS)
+        wt = (1.0 / counts[flat]).astype(vis.dtype)
+
+        uvw1, vis1 = mirror_uvw(uvw_l, vis)
+        wbin = find_closest(centers, uvw1[:, 2])
+        guv = _varying_zeros((n_grid, n_grid), vis.dtype)
+        part = wproj_gridder(bank_conj, (n_grid, n_grid), uvw1 / lam,
+                             wbin, wt * vis1, chunk=chunk, init=guv)
+        block = jax.lax.psum_scatter(part, VIS_AXIS, scatter_dimension=0,
+                                     tiled=True)
+        herm = _hermitian_rows_sharded(block, n_grid)
+        return jnp.real(fft2_centered_sharded(herm, VIS_AXIS, inverse=True))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(VIS_AXIS), P(), P(VIS_AXIS)),
+        out_specs=P(VIS_AXIS),
+    )
+    return jax.jit(fn)

@@ -333,3 +333,41 @@ class TestShardedPredict:
             degrid_wproj(bank, grid, uvw_l / lam, wbin, chunk=128)
         )
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+class TestGridScatterStep:
+    def test_matches_replicated_step(self, rng):
+        from ska_sdp_tpu.config import KernelOptions
+        from ska_sdp_tpu.ops import w_kernel_bank
+        from ska_sdp_tpu.parallel.mesh import make_mesh
+        from ska_sdp_tpu.parallel.sharded import (
+            make_sharded_wproj_step,
+            make_sharded_wproj_step_gridscatter,
+        )
+
+        mesh = make_mesh(8)
+        theta, lam = 0.02, 16000     # 320² grid, 320 % 64 == 0
+        nw, qpx, s = 4, 2, 15
+        n_vis = 512
+        opts = KernelOptions(qpx=qpx, npix_ff=64, npix_kern=s)
+        centers = jnp.linspace(-500.0, 500.0, nw)
+        bank = w_kernel_bank(theta, centers, opts).astype(jnp.complex128)
+        uvw = rng.uniform(-0.4 * lam, 0.4 * lam, size=(n_vis, 3))
+        uvw[:, 2] = rng.uniform(-450, 450, size=n_vis)
+        uvw = jnp.asarray(uvw)
+        vis = jnp.asarray(
+            rng.standard_normal(n_vis) + 1j * rng.standard_normal(n_vis)
+        )
+        freq = jnp.asarray(299792458.0)
+
+        got = np.asarray(
+            make_sharded_wproj_step_gridscatter(mesh, theta, lam, chunk=128)(
+                bank, centers, uvw, freq, vis
+            )
+        )
+        want = np.asarray(
+            make_sharded_wproj_step(mesh, theta, lam, chunk=128)(
+                bank, centers, uvw, freq, vis
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
