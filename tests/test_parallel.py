@@ -237,6 +237,20 @@ bank = np.conj(np.asarray(wk, np.complex128))
 step = make_sharded_wproj_step(mesh, theta, lam, chunk=64)
 img = step(bank, np.asarray(centers), uvw, jnp.asarray(float(freq)), vis)
 mx = float(jnp.max(img))
+
+# grid-distributed variant: cross-process reduce_scatter + ppermute
+# hermitian + pencil-FFT all_to_all (80 = n_grid, 80 % 8^2 != 0 -> use a
+# finer grid via lam2); exercises every collective across OS processes
+from ska_sdp_tpu.parallel.sharded import make_sharded_wproj_step_gridscatter
+theta2, lam2 = 0.02, 16000           # 320^2, 320 % 64 == 0
+step2 = make_sharded_wproj_step_gridscatter(mesh, theta2, lam2, chunk=64)
+img2 = step2(bank, np.asarray(centers), uvw, jnp.asarray(float(freq)), vis)
+from ska_sdp_tpu.parallel.sharded import make_sharded_wproj_step as mk
+img2_ref = mk(mesh, theta2, lam2, chunk=64)(
+    bank, np.asarray(centers), uvw, jnp.asarray(float(freq)), vis)
+d2 = float(jnp.max(jnp.abs(img2 - img2_ref)) / (jnp.max(jnp.abs(img2_ref)) + 1e-30))
+assert d2 < 1e-5, d2
+
 print(f"INGEST_OK {mx:.12e}", flush=True)
 """
 
