@@ -28,17 +28,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input-dir", default="data", help="input directory")
     p.add_argument("-o", "--output", default=None, help="output .h5 (/img)")
     p.add_argument(
-        "--mode", choices=["aw", "w", "simple", "predict"], default="aw",
-        help="pipeline (aw/w/simple imaging; predict: model image -> vis)",
+        "--mode",
+        choices=["aw", "w", "wcache", "conv", "simple", "predict"],
+        default="aw",
+        help="pipeline (aw/w/wcache/conv/simple imaging; predict: model "
+             "image -> vis)",
     )
     p.add_argument(
         "--backend", choices=["tpu", "cpu"], default=None,
-        help="device backend (default: whatever JAX selects)",
+        help="device backend; 'cpu' forces the CPU platform, 'tpu' "
+             "requires a TPU and errors out if none is attached",
+    )
+    p.add_argument(
+        "--gridder", choices=["auto", "xla", "pallas"], default=None,
+        help="gridder implementation: 'xla' is the slow-but-simple oracle "
+             "path (the reference's -debug interpreter analog), 'pallas' "
+             "forces the TPU kernels, 'auto' picks per backend",
     )
     p.add_argument(
         "--precision", choices=["single", "double"], default="single",
         help="single=complex64 (TPU), double=complex128 (CPU parity)",
     )
+    p.add_argument("--wstep", type=float, default=2000.0,
+                   help="w-bin width for --mode wcache (ref default 2000)")
     p.add_argument("-old", "--old", action="store_true", help="old gridder path")
     p.add_argument(
         "-dphases", "--dump-phases", action="store_true",
@@ -88,10 +100,26 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    elif args.backend == "tpu":
+        # effective, not a no-op: verify a TPU-class backend is actually
+        # selected ("axon" is the remote-TPU PJRT plugin in this env)
+        import jax
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            print(
+                f"error: --backend tpu requested but JAX selected "
+                f"{jax.default_backend()!r} (no TPU attached?)",
+                file=sys.stderr,
+            )
+            return 1
     if args.precision == "double":
         import jax
 
         jax.config.update("jax_enable_x64", True)
+    if args.gridder:
+        from . import kernels
+
+        kernels.set_gridder_impl(args.gridder)
 
     from .config import GridParams, ImagingConfig
     from .utils.timing import PhaseTimer
@@ -185,10 +213,19 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
                 config=cfg, timer=timer,
             )
     else:
+        # simple / wcache / conv: the reference's test-only imaging drivers
+        # (do_imaging + imgfn, /root/reference/src/Gridding.hs:509-549),
+        # reachable from the CLI so every BASELINE.md config is one flag
         import jax.numpy as jnp
         import numpy as np
 
-        from .models.imaging import do_imaging, simple_imaging
+        from .config import KernelOptions
+        from .models.imaging import (
+            conv_imaging,
+            do_imaging,
+            simple_imaging,
+            w_cache_imaging,
+        )
 
         data = ds.load_vis_data(vis_path)
         n = cfg.n_vis or data.vis.shape[0]
@@ -196,6 +233,29 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
         from .ops import uvw_lambda
 
         uvw0 = uvw_lambda(data.frequency, jnp.asarray(data.uvw[:n], prec.real))
+        if args.mode == "wcache":
+            opts = KernelOptions(wstep=args.wstep)
+
+            def imgfn(th, lam, uvw, src, vis):
+                return w_cache_imaging(th, lam, uvw, src, vis, opts=opts)
+        elif args.mode == "conv":
+            # fixed oversampled kernel at the mean |w| (the reference's
+            # conv tests pass a single w-kernel, GridTesting.hs:86-93)
+            from .ops import w_kernel_bank
+
+            w_mid = float(np.abs(np.asarray(uvw0[:, 2])).mean())
+            opts = KernelOptions()
+            kv = w_kernel_bank(
+                cfg.grid.theta,
+                jnp.asarray([w_mid], prec.real),
+                opts,
+                dtype=prec.real,
+            )[0]
+
+            def imgfn(th, lam, uvw, src, vis):
+                return conv_imaging(kv, th, lam, uvw, src, vis)
+        else:
+            imgfn = simple_imaging
         res = do_imaging(
             cfg.grid.theta,
             cfg.grid.lam,
@@ -205,7 +265,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             jnp.asarray(data.time[:n], prec.real),
             data.frequency,
             jnp.asarray(data.vis[:n], prec.complex),
-            simple_imaging,
+            imgfn,
         )
         mx = float(res.pmax)
         if args.output:

@@ -56,12 +56,13 @@ def read_dataset(path, name, dtype=None):
 
 
 def read_dataset_slice(path, name, start, count, dtype=None):
-    """Leading-axis slice read (out-of-core ingest).
+    """Leading-axis slice read (out-of-core ingest and sharded ingest).
 
-    The native C++ backend reads whole datasets (matching the reference's
-    C1 API); slice reads go through h5py regardless of backend selection.
+    Served by the selected backend: the native C++ layer implements it via
+    an H5Sselect_hyperslab read (``ska_h5_read_slice``), h5py via fancy
+    indexing — cross-validated in ``tests/test_native_h5.py``.
     """
-    return h5py_backend.read_dataset_slice(path, name, start, count, dtype)
+    return _resolve().read_dataset_slice(path, name, start, count, dtype)
 
 
 def read_datasets_stacked(path, names, dtype=None):

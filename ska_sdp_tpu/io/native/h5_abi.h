@@ -67,6 +67,12 @@ herr_t H5Sclose(hid_t s);
 int H5Sget_simple_extent_ndims(hid_t s);
 int H5Sget_simple_extent_dims(hid_t s, hsize_t *dims, hsize_t *maxdims);
 
+// H5S_seloper_t (subset)
+enum { H5S_SELECT_SET_ABI = 0 };
+herr_t H5Sselect_hyperslab(hid_t space, int seloper, const hsize_t *start,
+                           const hsize_t *stride, const hsize_t *count,
+                           const hsize_t *block);
+
 // --- datatypes -------------------------------------------------------------
 hid_t H5Tcreate(int cls, size_t size);
 herr_t H5Tinsert(hid_t parent, const char *name, size_t offset, hid_t member);

@@ -55,6 +55,14 @@ def ensure_loaded() -> ctypes.CDLL:
         ctypes.c_longlong,
         ctypes.c_void_p,
     ]
+    lib.ska_h5_read_slice.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        ctypes.c_void_p,
+    ]
     lib.ska_h5_write.argtypes = [
         ctypes.c_char_p,
         ctypes.c_char_p,
@@ -92,13 +100,6 @@ def dataset_shape(path: str, name: str) -> tuple[int, ...]:
     return tuple(int(dims[i]) for i in range(rank))
 
 
-def _infer_kind(path: str, name: str) -> int:
-    """Infer element kind by trying reads? No — callers use typed wrappers;
-    the generic read infers via h5-stored class, which the C layer doesn't
-    expose.  We read as f64 unless told otherwise via ``dtype``."""
-    raise NotImplementedError
-
-
 def read_dataset(path: str, name: str, dtype=None) -> np.ndarray:
     """Read a dataset; element type from ``dtype`` (float64/complex128/int64).
 
@@ -117,6 +118,27 @@ def read_dataset(path: str, name: str, dtype=None) -> np.ndarray:
     )
     if rc != 0:
         raise OSError(f"ska_h5_read({name!r}) failed rc={rc}")
+    return out
+
+
+def read_dataset_slice(path: str, name: str, start: int, count: int,
+                       dtype=None) -> np.ndarray:
+    """Leading-axis slice rows [start, start+count) via a native
+    H5Sselect_hyperslab read (out-of-core streaming ingest)."""
+    lib = ensure_loaded()
+    shape = dataset_shape(path, name)
+    if dtype is None:
+        dtype = _sniff_dtype(path, name)
+    kind = _KIND_BY_DTYPE[np.dtype(dtype)]
+    out = np.empty((count,) + shape[1:], dtype=np.dtype(dtype))
+    rc = lib.ska_h5_read_slice(
+        path.encode(), name.encode(), kind, start, count,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise OSError(
+            f"ska_h5_read_slice({name!r}, {start}, {count}) failed rc={rc}"
+        )
     return out
 
 

@@ -2,8 +2,11 @@
 
 ``wproj_gridder`` is the performance-critical scatter (SURVEY §2 C5): it
 dispatches to the best available implementation for the current backend —
-the Pallas tile-privatized TPU kernel when available, otherwise the pure-XLA
-chunked scatter from ``ops.gridding``.
+the Pallas tile-privatized TPU kernel when available AND the problem shape
+fits the kernel's tile geometry, otherwise the pure-XLA chunked scatter
+from ``ops.gridding``.  Every gate falls back instead of asserting: no
+input shape crashes the TPU path (mirrors the reference's shape-generic
+gridders, ``/root/reference/src/Gridding.hs:153-244``).
 """
 
 from __future__ import annotations
@@ -15,7 +18,25 @@ import jax.numpy as jnp
 
 from ..ops.gridding import convgrid_wproj
 
-_IMPL = os.environ.get("SKA_SDP_TPU_GRIDDER", "auto")  # auto|xla|pallas
+_VALID_IMPLS = ("auto", "xla", "pallas")
+_impl = os.environ.get("SKA_SDP_TPU_GRIDDER", "auto")  # auto|xla|pallas
+
+
+def set_gridder_impl(impl: str) -> None:
+    """Select the gridder implementation (CLI ``--gridder``).
+
+    ``xla`` is the slow-but-obviously-correct oracle path — the analog of
+    the reference's ``-debug`` interpreter switch
+    (``/root/reference/app/Main.hs:65,48``).
+    """
+    global _impl
+    if impl not in _VALID_IMPLS:
+        raise ValueError(f"gridder impl must be one of {_VALID_IMPLS}")
+    _impl = impl
+
+
+def get_gridder_impl() -> str:
+    return _impl
 
 
 def _default_backend() -> str:
@@ -23,6 +44,23 @@ def _default_backend() -> str:
         return jax.default_backend()
     except Exception:
         return "cpu"
+
+
+def _resolved_impl() -> str:
+    if _impl != "auto":
+        return _impl
+    # "axon" is the remote-TPU PJRT plugin used in this environment
+    return "pallas" if _default_backend() in ("tpu", "axon") else "xla"
+
+
+def _wproj_tile_fits(gh: int, gw: int) -> bool:
+    """Kernel support must fit the Pallas tile halo (PAD sublanes,
+    PADX lane-columns) — otherwise a patch could cross its private tile's
+    scratch and the kernel geometry breaks.  Checked here so unsupported
+    shapes (e.g. npix_kern > 16) route to XLA instead of asserting."""
+    from .wproj_pallas import PAD, PADX
+
+    return gh <= PAD and gw <= PADX
 
 
 def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384,
@@ -39,18 +77,17 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384,
         pass a device-varying zero grid (``lax.pcast(..., to='varying')``)
         so the per-device scatter carry type-checks.
     """
-    impl = _IMPL
-    if impl == "auto":
-        # "axon" is the remote-TPU PJRT plugin used in this environment
-        impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
-    if impl == "pallas":
+    gh, gw = bank_conj.shape[-2], bank_conj.shape[-1]
+    if _resolved_impl() == "pallas":
         try:
+            fits = _wproj_tile_fits(gh, gw)
+        except ImportError:
+            fits = False
+        if fits:
             from .wproj_pallas import wproj_gridder_pallas
 
             out = wproj_gridder_pallas(bank_conj, grid_shape, p, wbin, vis)
             return out if init is None else init + out
-        except ImportError:
-            impl = "xla"
     guv = jnp.zeros(grid_shape, vis.dtype) if init is None else init
     return convgrid_wproj(bank_conj, guv, p, wbin, vis, chunk=chunk)
 
@@ -65,56 +102,66 @@ def wproj_degridder(bank, grid, p, wbin, chunk: int = 16384):
     """
     from ..ops.gridding import degrid_wproj
 
-    impl = _IMPL
-    if impl == "auto":
-        impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
-    if impl == "pallas":
+    gh, gw = bank.shape[-2], bank.shape[-1]
+    if _resolved_impl() == "pallas":
         try:
+            fits = _wproj_tile_fits(gh, gw)
+        except ImportError:
+            fits = False
+        if fits:
             from .wproj_degrid_pallas import wproj_degridder_pallas
 
             return wproj_degridder_pallas(bank, grid, p, wbin)
-        except ImportError:
-            pass
     return degrid_wproj(bank, grid, p, wbin, chunk=chunk)
+
+
+# VMEM byte budget for the fused-AW kernel's resident spectral tables.  The
+# kernel itself is compiled with vmem_limit_bytes=100MB; accumulators,
+# record staging and pipeline double-buffers need the rest, so tables get
+# 64MB.  Computed from the ACTUAL packed-table footprint — the previous
+# shape-count gate ((nant² ≤ 16384) ∧ (nw·qpx² ≤ 4096)) was calibrated for
+# m=16 and admitted m=32 configs whose tables blow VMEM at Mosaic compile
+# time (ADVICE round 1).
+_AW_TABLE_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def _aw_fused_fits(nant: int, nw: int, qpx: int, s: int) -> bool:
+    m = 1 << (2 * s - 2).bit_length()      # next_pow2(2s-1)
+    packable = (m * m) % 128 == 0 and 128 % m == 0 and s <= 16
+    # pair + w-tap spectral tables: complex64 stored as 2×f32 planes
+    table_bytes = (nant * nant + nw * qpx * qpx) * m * m * 8
+    return packable and table_bytes <= _AW_TABLE_BUDGET_BYTES
 
 
 def aw_gridder(wkerns, akerns, guv, p, wbin, a1, a2, vis,
                chunk: int = 8192, slab: int = 1 << 16):
     """AW-projection gridder dispatch (on-the-fly A1⊛A2⊛W kernels).
 
-    TPU: MXU-batched patch synthesis + Pallas tile placement
+    TPU: fully fused Pallas kernel when the spectral tables fit VMEM, else
+    MXU-batched patch synthesis + Pallas tile placement
     (``patch_scatter_pallas.convgrid_aw_pallas``).  Elsewhere: the chunked
     XLA scatter (``ops.convgrid_aw``).
     """
     from ..ops.gridding import convgrid_aw
 
-    impl = _IMPL
-    if impl == "auto":
-        impl = "pallas" if _default_backend() in ("tpu", "axon") else "xla"
-    if impl == "pallas":
-        nant = akerns.shape[0]
-        s = wkerns.shape[-1]
-        m = 1 << (2 * s - 2).bit_length()      # next_pow2(2s-1)
-        # fused kernel needs VMEM-resident pair + w-tap spectral tables,
-        # 128-packable spectra, and kernels within the patch row spacing
-        fits = (nant * nant <= 16384
-                and (wkerns.shape[0] * wkerns.shape[1] ** 2) <= 4096
-                and (m * m) % 128 == 0 and 128 % m == 0 and s <= 16)
-        if fits:
-            try:
+    s = wkerns.shape[-1]
+    gh, gw = s, s
+    if _resolved_impl() == "pallas":
+        try:
+            tile_fits = _wproj_tile_fits(gh, gw)
+        except ImportError:
+            tile_fits = False
+        if tile_fits:
+            nant = akerns.shape[0]
+            if _aw_fused_fits(nant, wkerns.shape[0], wkerns.shape[1], s):
                 from .aw_fused_pallas import convgrid_aw_fused
 
                 return convgrid_aw_fused(
                     wkerns, akerns, guv, p, wbin, a1, a2, vis
                 )
-            except ImportError:
-                pass
-        try:
             from .patch_scatter_pallas import convgrid_aw_pallas
 
             return convgrid_aw_pallas(
                 wkerns, akerns, guv, p, wbin, a1, a2, vis, slab=slab
             )
-        except ImportError:
-            pass
     return convgrid_aw(wkerns, akerns, guv, p, wbin, a1, a2, vis, chunk=chunk)

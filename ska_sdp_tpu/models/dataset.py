@@ -377,7 +377,10 @@ def w_gridding_checkpointed(
                  jnp.ones(n, prec.np_real))
     ).real.astype(prec.np_real)
 
-    state = ckpt.load(checkpoint, n_grid, n)
+    # run-defining config: resuming under a different bank/precision/θλ
+    # must reject the checkpoint, not mix numerics (ADVICE r1)
+    fpr = ckpt.fingerprint(theta, lam, wkerns.shape, str(prec.np_real), "wproj")
+    state = ckpt.load(checkpoint, n_grid, n, fpr=fpr)
     if state is not None:
         g_re, g_im, start = state
         g_re = g_re.astype(prec.np_real)
@@ -408,7 +411,7 @@ def w_gridding_checkpointed(
             g_im = np.imag(np.asarray(g)).astype(prec.np_real)
         s0 += take
         with timer.phase("checkpoint/write"):
-            ckpt.save(checkpoint, g_re, g_im, s0, n)
+            ckpt.save(checkpoint, g_re, g_im, s0, n, fpr=fpr)
         slabs_done += 1
         if _max_slabs is not None and slabs_done >= _max_slabs and s0 < n:
             return None, None
@@ -501,7 +504,8 @@ def w_gridding_out_of_core(
             np.add.at(counts, flat[inb], 1)
         counts[counts == 0] = 1
 
-    state = ckpt.load(checkpoint, n_grid, n)
+    fpr = ckpt.fingerprint(theta, lam, wkerns.shape, str(prec.np_real), "wproj-ooc")
+    state = ckpt.load(checkpoint, n_grid, n, fpr=fpr)
     if state is not None:
         g_re, g_im, start = state
         g_re = g_re.astype(prec.np_real)
@@ -536,7 +540,7 @@ def w_gridding_out_of_core(
             g_re = np.real(np.asarray(g)).astype(prec.np_real)
             g_im = np.imag(np.asarray(g)).astype(prec.np_real)
         with timer.phase("checkpoint/write"):
-            ckpt.save(checkpoint, g_re, g_im, s0 + take, n)
+            ckpt.save(checkpoint, g_re, g_im, s0 + take, n, fpr=fpr)
 
     with timer.phase("finish/fft"):
         img, mx = _wfinish((g_re + 1j * g_im).astype(prec.np_complex))

@@ -35,7 +35,16 @@ def doweight(theta: float, lam: int, uvw, vis):
     n = int(round(theta * lam))
     p = uvw / lam
     x, _, y, _ = frac_coords((n, n), 1, p)
-    flat = (y.astype(jnp.int64 if x.dtype == jnp.int64 else jnp.int32) * n + x).ravel()
+    # y·n + x overflows int32 for n > 46340; such grids need x64 enabled
+    if n * n > jnp.iinfo(jnp.int32).max:
+        if not jnp.issubdtype(jnp.result_type(jnp.int64), jnp.int64):
+            raise ValueError(
+                f"grid {n}² needs int64 cell ids: enable jax_enable_x64"
+            )
+        idx_t = jnp.int64
+    else:
+        idx_t = jnp.int32
+    flat = (y.astype(idx_t) * n + x.astype(idx_t)).ravel()
     counts = jnp.zeros((n * n,), dtype=uvw.dtype).at[flat].add(1.0)
     per_vis = counts[flat]
     return vis / per_vis.astype(vis.dtype)

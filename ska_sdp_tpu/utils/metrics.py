@@ -4,6 +4,11 @@ The reference's observability is unstructured ``putStrLn`` progress lines
 (SURVEY §5).  This sink emits one JSON object per event — phase timings,
 dataset sizes, throughput — machine-parseable for run tracking.
 
+Multi-host safe: every record carries the JAX process index (when the
+distributed runtime is initialized), and each line is written with a single
+atomic ``os.write`` on an ``O_APPEND`` descriptor so concurrent writers
+from different hosts never interleave partial lines.
+
 Enable with ``SKA_SDP_TPU_METRICS=<path>`` or the CLI ``--metrics`` flag.
 """
 
@@ -15,6 +20,15 @@ import time
 from typing import Any, Optional
 
 
+def _process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 class MetricsSink:
     def __init__(self, path: Optional[str] = None):
         if path is None:
@@ -24,6 +38,17 @@ class MetricsSink:
     def emit(self, event: str, **fields: Any) -> None:
         if not self.path:
             return
-        rec = {"ts": time.time(), "event": event, **fields}
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        rec = {
+            "ts": time.time(),
+            "proc": _process_index(),
+            "event": event,
+            **fields,
+        }
+        line = (json.dumps(rec) + "\n").encode()
+        # one os.write per line on O_APPEND: POSIX-atomic for small writes,
+        # so lines from concurrent hosts/processes never interleave
+        fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+        try:
+            os.write(fd, line)
+        finally:
+            os.close(fd)
