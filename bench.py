@@ -1,13 +1,19 @@
 """Headline benchmark: visibilities gridded/sec, SKA1_Low w-projection.
 
-Measures the hot kernel of the framework — kernel-convolved scatter of
-complex visibilities onto the 2400² uv-grid with an oversampled w-kernel
-bank (BASELINE.md config #2) — on whatever accelerator JAX selects (the real
-TPU chip under the driver; CPU as fallback).
+Measures the hot kernels of the framework at the SKA1_Low scale
+(BASELINE.md configs) on whatever accelerator JAX selects (the real TPU
+chip under the driver; CPU as fallback):
+
+  1. (headline) w-projection scatter — kernel-convolved scatter of complex
+     visibilities onto the 2400² uv-grid with an oversampled kernel bank.
+  2. degridding — the adjoint gather (grid → vis predict).
+  3. fused AW-projection — per-visibility on-the-fly A1⊛A2⊛W kernels.
+  4. full imaging step — scatter + hermitian completion + centered iFFT
+     (the whole device program of a production imaging iteration).
 
 Device-boundary note: the TPU PJRT path here does not support complex
-transfers, so complex operands enter as (re, im) float32 pairs and the step
-returns a real checksum that forces full execution (see utils/cplx.py).
+transfers, so complex operands enter as (re, im) float32 pairs and each
+step returns a real checksum that forces full execution (see utils/cplx.py).
 
 The reference publishes no numbers (BASELINE.md); the driver's north-star is
 "≥5× H100-class visibilities/sec".  ``vs_baseline`` is therefore reported
@@ -18,7 +24,9 @@ GPU gridding work (Romein-style thread-coarsened gridders, PAPERS.md) lands
 in the ~1-3 Gvis/s range on H100-class parts for 15² kernels; we use 2e9 as
 the bar.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra_metrics": [...]} — the extra metrics carry the non-headline kernels
+so regressions there are driver-visible (VERDICT r1 #7).
 """
 
 from __future__ import annotations
@@ -33,70 +41,149 @@ H100_CLASS_VIS_PER_SEC = 2.0e9
 # SKA1_Low scale (SURVEY §2 C18, §5): 2400² grid, qpx=8, 15² kernels.
 THETA, LAM = 0.008, 300000
 NW, QPX, S = 32, 8, 15
-N_VIS = 1 << 20           # per timed step
+NANT = 64
+N_VIS = 1 << 20           # per timed step (headline / degrid / full step)
+N_VIS_AW = 1 << 19        # AW fused
 STEPS = 5
+
+
+def _rate(step, args, n, k=STEPS):
+    """Throughput of a jitted step; salted inputs defeat cross-step CSE
+    and any caching in the remote-TPU tunnel (BENCH.md)."""
+    import jax.numpy as jnp
+
+    chk = float(step(*args, jnp.float32(0.0)))   # compile + warmup
+    assert np.isfinite(chk) and chk > 0
+    t0 = time.perf_counter()
+    for i in range(k):
+        chk = float(step(*args, jnp.float32(1e-6 * (i + 1))))
+    dt = (time.perf_counter() - t0) / k
+    assert np.isfinite(chk) and chk > 0
+    return n / dt
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from ska_sdp_tpu.kernels import wproj_gridder
-    from ska_sdp_tpu.ops import find_closest, mirror_uvw
+    from ska_sdp_tpu.kernels import aw_gridder, wproj_degridder, wproj_gridder
+    from ska_sdp_tpu.ops import (
+        find_closest,
+        ifft_centered,
+        make_grid_hermitian,
+        mirror_uvw,
+    )
 
     n_grid = int(round(THETA * LAM))
     rng = np.random.default_rng(0)
 
     # Synthetic kernel bank directly (HDF5 ingest is not part of the timed
     # region; real banks load once per run).
-    bank = (
-        rng.standard_normal((NW, QPX, QPX, S, S))
-        + 1j * rng.standard_normal((NW, QPX, QPX, S, S))
-    ).astype(np.complex64)
-    centers = np.linspace(-4000, 4000, NW)
+    bank_re = jnp.asarray(
+        rng.standard_normal((NW, QPX, QPX, S, S)).astype(np.float32))
+    bank_im = jnp.asarray(
+        rng.standard_normal((NW, QPX, QPX, S, S)).astype(np.float32))
+    centers = jnp.asarray(np.linspace(-4000, 4000, NW), jnp.float32)
 
     uvw = rng.uniform(-0.42 * LAM, 0.42 * LAM, size=(N_VIS, 3))
     uvw[:, 2] = rng.uniform(-3800, 3800, size=N_VIS)
-    vis = (
-        rng.standard_normal(N_VIS) + 1j * rng.standard_normal(N_VIS)
-    ).astype(np.complex64)
+    uvw = jnp.asarray(uvw, jnp.float32)
+    vis_re = jnp.asarray(rng.standard_normal(N_VIS).astype(np.float32))
+    vis_im = jnp.asarray(rng.standard_normal(N_VIS).astype(np.float32))
 
-    @jax.jit
-    def grid_step(bank_re, bank_im, centers, uvw_l, vis_re, vis_im, salt):
-        bank_c = jax.lax.complex(bank_re, bank_im)
-        vis_c = jax.lax.complex(vis_re, vis_im + salt)  # defeat cross-step CSE
+    def _prep(uvw_l, vis_c):
         uvw1, vis1 = mirror_uvw(uvw_l, vis_c)
         wbin = find_closest(centers, uvw1[:, 2])
+        return uvw1, vis1, wbin
+
+    # 1. headline: w-projection scatter
+    @jax.jit
+    def grid_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
+        bank_c = jax.lax.complex(bank_re, bank_im)
+        vis_c = jax.lax.complex(vis_re, vis_im + salt)
+        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
         g = wproj_gridder(bank_c, (n_grid, n_grid), uvw1 / LAM, wbin, vis1)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
-    args = (
-        jnp.asarray(bank.real),
-        jnp.asarray(bank.imag),
-        jnp.asarray(centers, jnp.float32),
-        jnp.asarray(uvw, jnp.float32),
-        jnp.asarray(vis.real),
-        jnp.asarray(vis.imag),
+    args = (bank_re, bank_im, uvw, vis_re, vis_im)
+    wproj_rate = _rate(grid_step, args, N_VIS)
+
+    # 2. degridding (adjoint gather, grid → vis)
+    g_re = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
+    g_im = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
+
+    @jax.jit
+    def degrid_step(bank_re, bank_im, g_re, g_im, uvw_l, salt):
+        bank_c = jax.lax.complex(bank_re, bank_im)
+        grid_c = jax.lax.complex(g_re + salt, g_im)
+        uvw1, _, wbin = _prep(uvw_l, jnp.zeros(uvw_l.shape[0], jnp.complex64))
+        v = wproj_degridder(bank_c, grid_c, uvw1 / LAM, wbin)
+        return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
+
+    degrid_rate = _rate(
+        degrid_step, (bank_re, bank_im, g_re, g_im, uvw), N_VIS, k=3
     )
 
-    # compile + warmup; fetching the scalar forces (and checks) execution
-    chk = float(grid_step(*args, jnp.float32(0.0)))
-    assert np.isfinite(chk) and chk > 0
+    # 3. fused AW-projection (on-the-fly A1⊛A2⊛W)
+    ak_re = jnp.asarray(rng.standard_normal((NANT, S, S)).astype(np.float32))
+    ak_im = jnp.asarray(rng.standard_normal((NANT, S, S)).astype(np.float32))
+    a1 = jnp.asarray(rng.integers(0, NANT, N_VIS_AW).astype(np.int32))
+    a2 = jnp.asarray(rng.integers(0, NANT, N_VIS_AW).astype(np.int32))
 
-    t0 = time.perf_counter()
-    for k in range(STEPS):
-        chk = float(grid_step(*args, jnp.float32(1e-6 * (k + 1))))
-    dt = (time.perf_counter() - t0) / STEPS
-    assert np.isfinite(chk) and chk > 0
+    @jax.jit
+    def aw_step(bank_re, bank_im, ak_re, ak_im, uvw_l, a1, a2,
+                vis_re, vis_im, salt):
+        wk = jax.lax.complex(bank_re, bank_im)
+        ak = jax.lax.complex(ak_re, ak_im)
+        vis_c = jax.lax.complex(vis_re, vis_im + salt)
+        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
+        g = aw_gridder(wk, ak, jnp.zeros((n_grid, n_grid), jnp.complex64),
+                       uvw1 / LAM, wbin, a1, a2, vis1)
+        return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
-    vis_per_sec = N_VIS / dt
+    aw_rate = _rate(
+        aw_step,
+        (bank_re, bank_im, ak_re, ak_im, uvw[:N_VIS_AW], a1, a2,
+         vis_re[:N_VIS_AW], vis_im[:N_VIS_AW]),
+        N_VIS_AW, k=3,
+    )
+
+    # 4. full imaging step: scatter + hermitian + centered iFFT
+    @jax.jit
+    def full_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
+        bank_c = jax.lax.complex(bank_re, bank_im)
+        vis_c = jax.lax.complex(vis_re, vis_im + salt)
+        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
+        g = wproj_gridder(bank_c, (n_grid, n_grid), uvw1 / LAM, wbin, vis1)
+        img = jnp.real(ifft_centered(make_grid_hermitian(g)))
+        return jnp.sum(jnp.abs(img))
+
+    full_rate = _rate(full_step, args, N_VIS, k=3)
+
     print(
         json.dumps(
             {
                 "metric": "visibilities gridded/sec/chip (SKA1_Low w-proj, 2400^2 grid, qpx=8, 15^2 kernels, complex64)",
-                "value": round(vis_per_sec, 1),
+                "value": round(wproj_rate, 1),
                 "unit": "vis/s",
-                "vs_baseline": round(vis_per_sec / H100_CLASS_VIS_PER_SEC, 4),
+                "vs_baseline": round(wproj_rate / H100_CLASS_VIS_PER_SEC, 4),
+                "extra_metrics": [
+                    {
+                        "metric": "degridding (grid->vis predict, same shape)",
+                        "value": round(degrid_rate, 1),
+                        "unit": "vis/s",
+                    },
+                    {
+                        "metric": "fused AW-projection (on-the-fly A1*A2*W, 64 ants)",
+                        "value": round(aw_rate, 1),
+                        "unit": "vis/s",
+                    },
+                    {
+                        "metric": "full imaging step (scatter + hermitian + centered iFFT)",
+                        "value": round(full_rate, 1),
+                        "unit": "vis/s",
+                    },
+                ],
             }
         )
     )

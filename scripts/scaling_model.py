@@ -1,0 +1,190 @@
+"""Quantified scaling model for the sharded imaging steps (VERDICT r1 #8).
+
+No multi-chip hardware is reachable from this environment (one v5e behind
+the axon tunnel), so the ≥80%-at-4-hosts target cannot be *measured*.  This
+script makes the claim an engineering estimate instead of a hope:
+
+1. **Measured constants** — compile each sharded step on an N-device
+   virtual CPU mesh at the production grid size and extract every
+   collective op and its byte volume from the optimized HLO.  These are
+   the exact bytes XLA will move per device per step, not hand-derived
+   guesses (the analytic formulas are printed next to them as a check).
+2. **Time model** — standard ring-collective cost on the v5e ICI and a
+   hierarchical (ICI-within-host, DCN-across-host) model for multi-host,
+   combined with the measured single-chip gridding rate.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     JAX_PLATFORMS=cpu python scripts/scaling_model.py
+Prints a table + the projected scaling efficiencies; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Public hardware constants (labeled estimates; sources: Google Cloud TPU
+# docs + the "How to Scale Your Model" book's v5e tables).
+ICI_BW = 9.0e10      # B/s bidirectional per chip, v5e 2-D torus (1600 Gbps)
+DCN_BW = 2.5e10      # B/s per host NIC (200 Gbps class)
+CHIPS_PER_HOST = 4   # v5e-4 host
+WPROJ_RATE = 8.4e6   # vis/s/chip measured on the real chip (BENCH.md)
+
+_DT_BYTES = {"f32": 4, "f64": 8, "c64": 8, "c128": 16, "s32": 4, "u32": 4,
+             "pred": 1, "bf16": 2}
+
+# HLO line shape: `%name = c64[64,64]{1,0} all-reduce(%operand), ...`
+_COLL = re.compile(
+    r"=\s+\(?([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+    r"\b(all-reduce|reduce-scatter|all-to-all|collective-permute|all-gather)"
+    r"(?:-start)?\("
+)
+
+
+def _bytes_of(dt: str, dims: str) -> int:
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DT_BYTES.get(dt, 4)
+
+
+def collective_volumes(hlo: str) -> dict:
+    """Per-collective-kind input bytes (per device) in an optimized HLO."""
+    vols = defaultdict(int)
+    counts = defaultdict(int)
+    for m in _COLL.finditer(hlo):
+        dt, dims, kind = m.groups()
+        if kind == "all-reduce" and dt == "pred":
+            continue  # tiny predicate reductions
+        vols[kind] += _bytes_of(dt, dims)
+        counts[kind] += 1
+    return {k: (counts[k], v) for k, v in vols.items()}
+
+
+def wire_bytes(kind: str, buf_bytes: int, P: int) -> float:
+    """Per-device ring wire traffic.  ``buf_bytes`` is the HLO *result*
+    shape: the full buffer for all-reduce/all-gather/all-to-all, but the
+    1/P-sized shard for reduce-scatter."""
+    if kind == "all-reduce":
+        return 2 * (P - 1) / P * buf_bytes
+    if kind == "reduce-scatter":
+        return (P - 1) * buf_bytes          # result is the 1/P shard
+    if kind in ("all-gather", "all-to-all"):
+        return (P - 1) / P * buf_bytes
+    if kind == "collective-permute":
+        return buf_bytes
+    return buf_bytes
+
+
+def analyze(step_name: str, make_step, mesh, args, P: int):
+    import jax
+
+    fn = make_step
+    lowered = fn.lower(*args) if hasattr(fn, "lower") else jax.jit(fn).lower(*args)
+    hlo = lowered.compile().as_text()
+    vols = collective_volumes(hlo)
+    total_wire = 0.0
+    print(f"\n### {step_name}  (P = {P})")
+    print(f"{'collective':20s} {'count':>5s} {'buf MB/dev':>11s} {'wire MB/dev':>12s}")
+    for kind, (cnt, v) in sorted(vols.items()):
+        w = wire_bytes(kind, v, P)
+        total_wire += w
+        print(f"{kind:20s} {cnt:5d} {v/1e6:11.2f} {w/1e6:12.2f}")
+    print(f"{'TOTAL wire':20s} {'':5s} {'':11s} {total_wire/1e6:12.2f}")
+    return total_wire
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_tpu.parallel import (
+        make_mesh,
+        make_sharded_wproj_step,
+        make_sharded_wproj_step_gridscatter,
+    )
+
+    theta, lam = 0.008, 300000          # 2400² production grid
+    n_grid = int(round(theta * lam))
+    P = len(jax.devices())
+    n_vis_per_dev = 1 << 17
+    n_vis = n_vis_per_dev * P
+
+    rng = np.random.default_rng(0)
+    nw, qpx, s = 8, 4, 15
+    bank = jnp.asarray(
+        (rng.standard_normal((nw, qpx, qpx, s, s))
+         + 1j * rng.standard_normal((nw, qpx, qpx, s, s))).astype(np.complex64)
+    )
+    centers = jnp.asarray(np.linspace(-3800, 3800, nw), jnp.float32)
+    uvw = rng.uniform(-0.42 * lam, 0.42 * lam, size=(n_vis, 3))
+    uvw[:, 2] = rng.uniform(-3600, 3600, size=n_vis)
+    uvw = jnp.asarray(uvw, jnp.float32)
+    freq = jnp.asarray(299792458.0, jnp.float32)
+    vis = jnp.asarray(
+        (rng.standard_normal(n_vis) + 1j * rng.standard_normal(n_vis))
+        .astype(np.complex64)
+    )
+    args = (bank, centers, uvw, freq, vis)
+
+    grid_bytes = n_grid * n_grid * 8
+    print(f"grid: {n_grid}² complex64 = {grid_bytes/1e6:.1f} MB")
+    print(f"analytic check: all-reduce wire 2(P-1)/P·grid = "
+          f"{2*(P-1)/P*grid_bytes/1e6:.1f} MB/dev; reduce-scatter half that")
+
+    mesh = make_mesh(P)
+    w_psum = analyze(
+        "vis-parallel + grid psum (make_sharded_wproj_step)",
+        make_sharded_wproj_step(mesh, theta, lam, chunk=4096),
+        mesh, args, P,
+    )
+    wires = {"psum": w_psum}
+    if n_grid % (P * P) == 0:
+        w_rs = analyze(
+            "fully grid-distributed (reduce_scatter + pencil FFT)",
+            make_sharded_wproj_step_gridscatter(mesh, theta, lam, chunk=4096),
+            mesh, args, P,
+        )
+        wires["gridscatter"] = w_rs
+    else:
+        print(f"\n(gridscatter step needs n_grid % P² == 0; "
+              f"{n_grid} % {P*P} != 0 — run with P=4 for that variant)")
+
+    # ------------------------------------------------------------------
+    # time model
+    print("\n### projected scaling (model)")
+    print(f"constants: ICI {ICI_BW/1e9:.0f} GB/s bidir/chip, DCN "
+          f"{DCN_BW/1e9:.0f} GB/s/host, wproj {WPROJ_RATE/1e6:.1f} Mvis/s/chip")
+    for name, wire in wires.items():
+        for n_hosts in (1, 2, 4):
+            chips = CHIPS_PER_HOST * n_hosts
+            # hierarchical: ICI leg moves the same per-device wire bytes;
+            # DCN leg reduces one grid buffer per host pair (ring over hosts)
+            t_ici = wire / ICI_BW
+            t_dcn = (
+                0.0 if n_hosts == 1
+                else 2 * (n_hosts - 1) / n_hosts * grid_bytes / DCN_BW
+            )
+            if name == "gridscatter":
+                t_dcn /= 2  # reduce-scatter, not all-reduce, across hosts
+            t_comp = n_vis_per_dev / WPROJ_RATE
+            eff = t_comp / (t_comp + t_ici + t_dcn)
+            print(
+                f"{name:12s} hosts={n_hosts} chips={chips:2d}: "
+                f"comp {t_comp*1e3:6.1f} ms  ici {t_ici*1e3:5.1f} ms  "
+                f"dcn {t_dcn*1e3:5.1f} ms  -> efficiency {eff:5.1%} "
+                f"({n_vis_per_dev} vis/chip/step)"
+            )
+    print(
+        "\nNOTE: modeled, not measured — one real chip in this environment. "
+        "Wire volumes above ARE measured (from the optimized HLO); only the "
+        "bandwidths and overlap (assumed none) are estimates."
+    )
+
+
+if __name__ == "__main__":
+    main()

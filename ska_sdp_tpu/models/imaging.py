@@ -64,6 +64,7 @@ def w_cache_imaging(
     vis,
     opts: KernelOptions = KernelOptions(),
     chunk: int = 8192,
+    w_range: Optional[tuple] = None,
 ):
     """w-projection imaging with an on-the-fly w-kernel bank.
 
@@ -72,26 +73,37 @@ def w_cache_imaging(
     bank.  The reference hosts a compile-per-bin loop; here the whole bank is
     one batched ``w_kernel_bank`` call.
 
-    Note: the reference computes the bin range with a *host* round-trip
-    (``CPU.run`` at Gridding.hs:430) — i.e. min/max of w are effectively
-    static.  We keep that staging decision: bin centers are computed with
-    numpy on the host from concrete uvw, so the jitted gridding program sees
-    a static bank shape.
+    The bank shape depends on the w extent, which the reference computes
+    with a *host* round-trip (``CPU.run`` at Gridding.hs:430).  Pass
+    ``w_range=(minw, maxw)`` (static floats covering the data) to keep the
+    whole function jittable/composable as an ``ImagingFunction`` — the bin
+    grid is then derived statically and per-vis bins with jnp.  With
+    ``w_range=None`` the extent is taken from concrete ``uvw`` on the host
+    (un-jittable, the reference's staging).
     """
     import numpy as np
 
-    w = np.asarray(uvw[:, 2])
     wstep = opts.wstep
-    roundedw = wstep * np.round(w / wstep)
-    minw, maxw = roundedw.min(), roundedw.max()
-    steps = int((maxw - minw) // wstep) + 1
-    centers = minw + wstep * np.arange(steps, dtype=np.float64)
+    if w_range is not None:
+        minw = wstep * np.round(float(w_range[0]) / wstep)
+        maxw = wstep * np.round(float(w_range[1]) / wstep)
+        steps = int((maxw - minw) // wstep) + 1
+        centers = minw + wstep * np.arange(steps, dtype=np.float64)
+        w = uvw[:, 2]
+        roundedw = jnp.clip(wstep * jnp.round(w / wstep), minw, maxw)
+        wbin = ((roundedw - minw) // wstep).astype(jnp.int32)
+    else:
+        w = np.asarray(uvw[:, 2])
+        roundedw = wstep * np.round(w / wstep)
+        minw, maxw = roundedw.min(), roundedw.max()
+        steps = int((maxw - minw) // wstep) + 1
+        centers = minw + wstep * np.arange(steps, dtype=np.float64)
+        wbin = (
+            (jnp.asarray(roundedw.astype(np.float64)) - minw) // wstep
+        ).astype(jnp.int32)
 
     real_dt = jnp.real(vis).dtype
     bank = w_kernel_bank(theta, centers.astype(real_dt), opts, dtype=real_dt)
-    wbin = ((jnp.asarray(roundedw.astype(np.float64)) - minw) // wstep).astype(
-        jnp.int32
-    )
     from ..kernels import wproj_gridder
 
     n = int(round(theta * lam))
