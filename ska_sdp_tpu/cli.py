@@ -29,11 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default=None, help="output .h5 (/img)")
     p.add_argument(
         "--mode",
-        choices=["aw", "w", "wcache", "conv", "simple", "predict"],
+        choices=["aw", "w", "idg", "wcache", "conv", "simple", "predict"],
         default="aw",
-        help="pipeline (aw/w/wcache/conv/simple imaging; predict: model "
-             "image -> vis)",
+        help="pipeline (aw/w/wcache/conv/simple imaging; idg: MXU-native "
+             "image-domain w-projection, no wkern file needed; predict: "
+             "model image -> vis)",
     )
+    p.add_argument("--subgrid", type=int, default=64,
+                   help="IDG subgrid size (--mode idg)")
     p.add_argument(
         "--backend", choices=["tpu", "cpu"], default=None,
         help="device backend; 'cpu' forces the CPU platform, 'tpu' "
@@ -185,6 +188,15 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
         )
         print(f"predicted {pred.shape[0]} visibilities, peak |vis|: {peak}")
         metrics.emit("run/done", peak_vis=peak, phases=timer.times)
+        return 0
+
+    if args.mode == "idg":
+        mx, _ = ds.idg_gridding(
+            vis_path, n=cfg.n_vis, outfile=args.output, config=cfg,
+            timer=timer, subgrid=args.subgrid,
+        )
+        print(f"image max: {mx}")
+        metrics.emit("run/done", image_max=mx, phases=timer.times)
         return 0
 
     if args.mode == "aw":

@@ -115,6 +115,35 @@ def wproj_degridder(bank, grid, p, wbin, chunk: int = 16384):
     return degrid_wproj(bank, grid, p, wbin, chunk=chunk)
 
 
+def idg_gridder(grid_shape, p, w, vis, *, theta: float, subgrid: int = 64,
+                support: int = 15, taper_beta: float = 12.0):
+    """Image-domain gridding dispatch (MXU-native w-projection mode).
+
+    TPU: the subgrid-walking Pallas kernel (``kernels/idg_pallas.py``);
+    elsewhere the XLA realization (``ops/idg.py`` — also the oracle).
+    The returned grid's dirty image must be divided by the taper
+    (``ops.idg.taper_fine``); ``models.imaging`` handles that.
+    """
+    from ..ops.idg import idg_grid_wproj
+
+    if support > subgrid // 2 + 1:
+        raise ValueError(
+            f"IDG needs support <= subgrid/2+1; got s={support}, "
+            f"S={subgrid} — use a larger subgrid"
+        )
+    if _resolved_impl() == "pallas":
+        from .idg_pallas import idg_gridder_pallas
+
+        return idg_gridder_pallas(
+            grid_shape, p, w, vis, theta=theta, subgrid=subgrid,
+            support=support, taper_beta=taper_beta,
+        )
+    return idg_grid_wproj(
+        grid_shape, p, w, vis, theta=theta, subgrid=subgrid,
+        support=support, taper_beta=taper_beta,
+    )
+
+
 # VMEM byte budget for the fused-AW kernel's resident spectral tables.  The
 # kernel itself is compiled with vmem_limit_bytes=100MB; accumulators,
 # record staging and pipeline double-buffers need the rest, so tables get

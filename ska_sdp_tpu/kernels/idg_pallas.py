@@ -1,0 +1,266 @@
+"""Pallas TPU kernel: image-domain gridding (IDG) — MXU subgrid matmuls.
+
+The MXU-native gridding mode (``ops/idg.py`` documents the math).  The
+XLA realization of IDG is bound by record rearrangement (random-access
+gathers/scatters of padded record slots run ~30M elem/s on v5e); this
+kernel removes every padded intermediate by walking SUBGRIDS the same way
+``wproj_pallas`` walks tiles:
+
+* records are sorted by subgrid id once in XLA (one fused multi-operand
+  ``lax.sort``), packed [8, n] and streamed HBM→VMEM in CHUNK-record
+  blocks; a subgrid's [start, end) range comes from prefetched CSR
+  offsets, boundary blocks are shared with neighbouring programs and
+  neutralized by zeroing the visibility (two vector selects — the
+  branch-free pattern from the w-proj kernel, BENCH.md).
+* per block, phase matrices are built **vectorized over the 128 record
+  lanes**: ``ph[q, b] = (2π/S)·c_q·dy_b − π·w_b·l_q²`` is two rank-1
+  broadcasts; sin/cos run on the VPU transcendental unit.
+* the visibility-weighted outer-product sum ``a[q,r] = Σ_b v_b E_y[q,b]
+  E_x[r,b]`` is four real (S,128)×(128,S) MXU matmuls per block —
+  contraction over record lanes, ~1-2 cycles/visibility.
+* the subgrid's uv patch is the centered DFT sandwich ``F·a·Fᵀ`` (taper
+  folded into F — zero extra cost), emitted as an (S, 2S) re|im
+  lane-concatenated block through the output pipeline; XLA folds the
+  overlapping patches densely (``ops.idg._fold_overlap``).
+
+Geometry: S = subgrid, T = S/2 stride; a visibility whose support anchor
+sits in stride cell t of subgrid g has ≥ (S−T−s//2) cells of taper margin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.idg import _fold_overlap, kaiser_taper
+
+CHUNK = 256
+
+
+def _align(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
+            recs_v, a_re, a_im, sems, *, S: int, theta: float):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+
+    a_re[:] = jnp.zeros_like(a_re)
+    a_im[:] = jnp.zeros_like(a_im)
+
+    cq = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) - (S // 2)
+          ).astype(jnp.float32)
+    lq = cq * (theta / S)
+    lq2 = lq * lq
+    b_lo = start // CHUNK
+    nblocks = jnp.where(end > start, (end - 1) // CHUNK - b_lo + 1, 0)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            recs_hbm.at[b_lo + c], recs_v.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def chunk_body(c, _):
+        slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
+
+        @pl.when(c + 1 < nblocks)
+        def _():
+            dma(1 - slot, c + 1).start()    # overlap next block's DMA
+
+        dma(slot, c).wait()
+        b = b_lo + c
+        lo = jnp.maximum(start - b * CHUNK, 0)
+        hi = jnp.minimum(end - b * CHUNK, CHUNK)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        ok = ((lane >= lo) & (lane < hi)).astype(jnp.float32)
+
+        dy = recs_v[slot, 0:1, :]
+        dx = recs_v[slot, 1:2, :]
+        w = recs_v[slot, 2:3, :]
+        vr = recs_v[slot, 3:4, :] * ok
+        vi = recs_v[slot, 4:5, :] * ok
+
+        two_pi_s = jnp.float32(2.0 * np.pi / S)
+        pi_ = jnp.float32(np.pi)
+        ph_y = two_pi_s * cq * dy - pi_ * lq2 * w      # (S, CHUNK)
+        ph_x = two_pi_s * cq * dx - pi_ * lq2 * w
+        ey_re = jnp.cos(ph_y)
+        ey_im = jnp.sin(ph_y)
+        ex_re = jnp.cos(ph_x)
+        ex_im = jnp.sin(ph_x)
+
+        u_re = ey_re * vr - ey_im * vi                 # (S, CHUNK)
+        u_im = ey_re * vi + ey_im * vr
+
+        dn = (((1,), (1,)), ((), ()))                  # contract lanes
+        f32 = jnp.float32
+        a_re[:] += (
+            jax.lax.dot_general(u_re, ex_re, dn, preferred_element_type=f32)
+            - jax.lax.dot_general(u_im, ex_im, dn, preferred_element_type=f32)
+        )
+        a_im[:] += (
+            jax.lax.dot_general(u_re, ex_im, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(u_im, ex_re, dn, preferred_element_type=f32)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
+
+    # centered DFT sandwich with the taper folded into F: patch = F a Fᵀ
+    f32 = jnp.float32
+    dn_nt = (((1,), (0,)), ((), ()))                   # F · a
+    b_re = (
+        jax.lax.dot_general(fre_ref[:], a_re[:], dn_nt, preferred_element_type=f32)
+        - jax.lax.dot_general(fim_ref[:], a_im[:], dn_nt, preferred_element_type=f32)
+    )
+    b_im = (
+        jax.lax.dot_general(fre_ref[:], a_im[:], dn_nt, preferred_element_type=f32)
+        + jax.lax.dot_general(fim_ref[:], a_re[:], dn_nt, preferred_element_type=f32)
+    )
+    dn_t = (((1,), (1,)), ((), ()))                    # (F·a) · Fᵀ
+    c_re = (
+        jax.lax.dot_general(b_re, fre_ref[:], dn_t, preferred_element_type=f32)
+        - jax.lax.dot_general(b_im, fim_ref[:], dn_t, preferred_element_type=f32)
+    )
+    c_im = (
+        jax.lax.dot_general(b_re, fim_ref[:], dn_t, preferred_element_type=f32)
+        + jax.lax.dot_general(b_im, fre_ref[:], dn_t, preferred_element_type=f32)
+    )
+    out_ref[0] = jnp.concatenate([c_re, c_im], axis=1)
+
+
+def _prep(N: int, S: int, T: int, PADM: int, nty: int, p, w, vis_re, vis_im,
+          support: int):
+    """Sort records by subgrid id; returns packed [nblk, 8, CHUNK] record
+    blocks + CSR starts.  One fused multi-operand sort — no padded-slot
+    arrays (the XLA IDG path's bottleneck)."""
+    n_sub = nty * nty
+    s = support
+    yc = jnp.floor(N // 2 + p[:, 1] * N + 0.5).astype(jnp.int32)
+    xc = jnp.floor(N // 2 + p[:, 0] * N + 0.5).astype(jnp.int32)
+    y0 = yc - s // 2
+    x0 = xc - s // 2
+    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
+    y0p = jnp.where(valid, y0 + PADM, 0)
+    x0p = jnp.where(valid, x0 + PADM, 0)
+    gy = y0p // T
+    gx = x0p // T
+    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
+
+    # positions relative to the assigned subgrid's center
+    fN = jnp.float32(N)
+    dy = (N // 2 + p[:, 1] * fN + PADM) - (gy * T + S // 2).astype(p.dtype)
+    dx = (N // 2 + p[:, 0] * fN + PADM) - (gx * T + S // 2).astype(p.dtype)
+    vr = jnp.where(valid, vis_re, 0.0)
+    vi = jnp.where(valid, vis_im, 0.0)
+
+    t_s, dy_s, dx_s, w_s, vr_s, vi_s = jax.lax.sort(
+        [t, dy.astype(jnp.float32), dx.astype(jnp.float32),
+         w.astype(jnp.float32), vr.astype(jnp.float32),
+         vi.astype(jnp.float32)], num_keys=1,
+    )
+    n = t_s.shape[0]
+    n_pad = _align(max(n, 1), CHUNK)
+    zero = jnp.zeros((n_pad - n,), jnp.float32)
+    rows = [jnp.concatenate([r, zero]) for r in
+            (dy_s, dx_s, w_s, vr_s, vi_s)]
+    rows += [jnp.zeros((n_pad,), jnp.float32)] * 3     # sublane-tile align
+    recs = jnp.stack(rows).reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
+    starts = jnp.searchsorted(t_s, jnp.arange(n_sub + 1)).astype(jnp.int32)
+    return recs, starts
+
+
+def idg_grid_wproj_pallas(grid_shape, p, w, vis_re, vis_im, *, theta: float,
+                          subgrid: int = 64, support: int = 15,
+                          taper_beta: float = 12.0,
+                          interpret: bool = False):
+    """IDG gridding on TPU; returns (grid_re, grid_im) [N, N] float32.
+
+    Same contract as ``ops.idg.idg_grid_wproj`` (which remains the
+    oracle / CPU path); the resulting dirty image must be divided by the
+    taper (``ops.idg.taper_fine``).
+    """
+    N, Nx = grid_shape
+    assert N == Nx
+    S = subgrid
+    T = S // 2
+    assert support <= T + 1
+    PADM = T
+    nty = -(-(N + 2 * PADM) // T) + 1
+    n_sub = nty * nty
+
+    recs, starts = _prep(N, S, T, PADM, nty, p, w, vis_re, vis_im, support)
+
+    # DFT matrix with taper folded: F' = F·diag(taper)
+    k = np.arange(S, dtype=np.float64) - S // 2
+    # 1/S per factor gives the sandwich the XLA path's 1/S² normalization
+    F = np.exp(-2j * np.pi * np.outer(k, k) / S) / S
+    if taper_beta > 0:
+        # numpy-native Kaiser (host constant — kaiser_taper is jnp/traced)
+        x = k / (S / 2)
+        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x * x, 0.0, 1.0)))
+        F = F * (t1 / np.i0(taper_beta))[None, :]
+    f_re = jnp.asarray(F.real, jnp.float32)
+    f_im = jnp.asarray(F.imag, jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_sub,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # recs [nblk, 8, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # F real
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # F imag
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, 2 * S), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, CHUNK), jnp.float32),   # double-buffered
+            pltpu.VMEM((S, S), jnp.float32),
+            pltpu.VMEM((S, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    (out,) = pl.pallas_call(
+        functools.partial(_kernel, S=S, theta=theta),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_sub, S, 2 * S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(starts, recs, f_re, f_im)
+
+    patches = out.reshape(nty, nty, S, 2 * S)
+    g_re = _fold_overlap(patches[..., :S], nty, nty, S, T)
+    g_im = _fold_overlap(patches[..., S:], nty, nty, S, T)
+    lo = PADM
+    return g_re[lo:lo + N, lo:lo + N], g_im[lo:lo + N, lo:lo + N]
+
+
+def idg_gridder_pallas(grid_shape, p, w, vis, *, theta: float,
+                       subgrid: int = 64, support: int = 15,
+                       taper_beta: float = 12.0, interpret: bool = False):
+    """Complex wrapper matching ``ops.idg.idg_grid_wproj``'s signature."""
+    g_re, g_im = idg_grid_wproj_pallas(
+        grid_shape, p, w,
+        jnp.real(vis).astype(jnp.float32),
+        jnp.imag(vis).astype(jnp.float32),
+        theta=theta, subgrid=subgrid, support=support,
+        taper_beta=taper_beta, interpret=interpret,
+    )
+    return jax.lax.complex(g_re, g_im)

@@ -246,6 +246,69 @@ def w_gridding(
     return mx, img
 
 
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "subgrid", "taper_beta"))
+def _idg_pipeline(uvw, f, vis, *, theta, lam, subgrid, taper_beta):
+    """Image-domain-gridding device program (MXU-native w-projection).
+
+    Same step shape as ``_wproj_pipeline`` but the gridder is IDG (no
+    kernel bank needed — the w screens are applied analytically) and the
+    final image is taper-corrected.
+    """
+    from ..kernels import idg_gridder
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    uvw0 = uvw_lambda(f, uvw)
+    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
+    uvw1, vis1 = mirror_uvw(uvw0, vis)
+    n = int(round(theta * lam))
+    guv = idg_gridder((n, n), uvw1 / lam, uvw1[:, 2], wt * vis1,
+                      theta=theta, subgrid=subgrid, taper_beta=taper_beta)
+    img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
+    tf = taper_fine(n, subgrid, kaiser_taper(subgrid, taper_beta))
+    tf = tf.astype(img.dtype)
+    img = img / (tf[:, None] * tf[None, :])
+    return img, jnp.max(img)
+
+
+def idg_gridding(
+    datfile: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    subgrid: int = 64,
+    taper_beta: float = 12.0,
+):
+    """Image-domain-gridding imaging run — the MXU-native w-projection
+    mode (PAPERS.md #1; ``ops/idg.py`` for the math and accuracy bounds).
+    Needs no w-kernel file: the screens the reference tabulates
+    (``src/Gridding.hs:651-667``) are applied analytically in the image
+    domain.  Returns (image max, image)."""
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    n = n if n is not None else data.vis.shape[0]
+    with timer.phase("h2d+compile+grid+fft"):
+        img, mx = _idg_pipeline(
+            np.asarray(data.uvw[:n], prec.np_real),
+            np.asarray(data.frequency, prec.np_real),
+            np.asarray(data.vis[:n], prec.np_complex),
+            theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
+        )
+        img = np.asarray(img)
+        mx = float(mx)
+    if outfile is not None:
+        with timer.phase("write/img"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, schema.IMG_DATASET,
+                             img.astype(np.float64))
+    return mx, img
+
+
 @partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
 def _predict_pipeline(wkerns, wbins, img, uvw, f, *, theta, lam, chunk):
     """Model image → uv-grid → per-visibility prediction (degridding)."""
