@@ -69,12 +69,28 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
     acc2[:] = jnp.zeros_like(acc2)
 
     b_lo = start // CHUNK
+    nblocks = jnp.where(
+        end > start, (end - jnp.int32(1)) // CHUNK - b_lo + 1, 0
+    )
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            recs_hbm.at[b_lo + c], recs_s.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma(0, 0).start()
 
     def chunk_body(c, _):
+        slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
+
+        @pl.when(c + 1 < nblocks)
+        def _():
+            dma(1 - slot, c + 1).start()
+
+        dma(slot, c).wait()
         b = b_lo + c
-        cp = pltpu.make_async_copy(recs_hbm.at[b], recs_s, sems.at[0])
-        cp.start()
-        cp.wait()
         lo = jnp.maximum(start - b * CHUNK, 0)
         hi = jnp.minimum(end - b * CHUNK, CHUNK)
 
@@ -83,9 +99,9 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
         def _spectral(i):
             # tables are (8, 128)-packed rows of the (m, m) spectra —
             # exactly one vreg per read, zero VMEM padding waste
-            pid = jnp.minimum(recs_s[2, i].astype(jnp.int32),
+            pid = jnp.minimum(recs_s[slot, 2, i].astype(jnp.int32),
                               jnp.int32(npair - 1))
-            kid = jnp.minimum(recs_s[3, i].astype(jnp.int32),
+            kid = jnp.minimum(recs_s[slot, 3, i].astype(jnp.int32),
                               jnp.int32(nwq - 1))
             xr = pair_r[pid] * wsp_r[kid] - pair_i[pid] * wsp_i[kid]
             xi = pair_r[pid] * wsp_i[kid] + pair_i[pid] * wsp_r[kid]
@@ -123,10 +139,10 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
             for j in range(UNROLL):
                 i = i0 + j
                 in_r = (i >= lo) & (i < hi)
-                y0 = recs_s[0, i].astype(jnp.int32)
-                x0 = recs_s[1, i].astype(jnp.int32)
-                vr = jnp.where(in_r, recs_s[4, i], 0.0)
-                vi = jnp.where(in_r, recs_s[5, i], 0.0)
+                y0 = recs_s[slot, 0, i].astype(jnp.int32)
+                x0 = recs_s[slot, 1, i].astype(jnp.int32)
+                vr = jnp.where(in_r, recs_s[slot, 4, i], 0.0)
+                vi = jnp.where(in_r, recs_s[slot, 5, i], 0.0)
                 pj = i_all[j * ROWSP:(j + 1) * ROWSP]      # (16, 2s)
                 patch = vr * pj + vi * _swapneg(pj)
                 r = jax.lax.rem(y0, jnp.int32(8))
@@ -144,9 +160,6 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
         jax.lax.fori_loop(0, CHUNK // UNROLL, group_body, 0, unroll=False)
         return 0
 
-    nblocks = jnp.where(
-        end > start, (end - jnp.int32(1)) // CHUNK - b_lo + 1, 0
-    )
     jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
     out_ref[0] = acc[:] + acc2[:]
 
@@ -203,21 +216,22 @@ def _preprocess(grid_shape, qpx, s, p, wbin, a1, a2, nant, vis_re, vis_im):
     tx = x0p // TX
     t = jnp.where(valid, ty * ntx + tx, ntiles).astype(jnp.int32)
 
-    order = jnp.argsort(t)
-    t_s = t[order]
-    zero = jnp.zeros_like(vis_re)
-    recs = jnp.stack(
+    # one fused multi-operand sort instead of argsort + per-field gathers
+    # (random-access gathers run ~30M elem/s on v5e — BENCH.md round 2)
+    t_s, f0, f1, f2, f3, f4, f5 = jax.lax.sort(
         [
-            (y0p - ty * TY)[order].astype(jnp.float32),
-            (x0p - tx * TX)[order].astype(jnp.float32),
-            pid[order].astype(jnp.float32),
-            kidx[order].astype(jnp.float32),
-            jnp.where(valid, vis_re, 0.0)[order].astype(jnp.float32),
-            jnp.where(valid, vis_im, 0.0)[order].astype(jnp.float32),
-            zero.astype(jnp.float32),
-            zero.astype(jnp.float32),
-        ]
+            t,
+            (y0p - ty * TY).astype(jnp.float32),
+            (x0p - tx * TX).astype(jnp.float32),
+            pid.astype(jnp.float32),
+            kidx.astype(jnp.float32),
+            jnp.where(valid, vis_re, 0.0).astype(jnp.float32),
+            jnp.where(valid, vis_im, 0.0).astype(jnp.float32),
+        ],
+        num_keys=1,
     )
+    zero = jnp.zeros_like(f0)
+    recs = jnp.stack([f0, f1, f2, f3, f4, f5, zero, zero])
     n = recs.shape[1]
     n_pad = _align(max(n, 1), CHUNK)
     recs = jnp.pad(recs, ((0, 0), (0, n_pad - n)))
@@ -268,10 +282,10 @@ def aw_fused_scatter_planes(pair_r, pair_i, wsp_r, wsp_i, grid_shape,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, CHUNK), jnp.float32),
+            pltpu.SMEM((2, 8, CHUNK), jnp.float32),
             pltpu.VMEM((TYP, TXP2), jnp.float32),
             pltpu.VMEM((TYP, TXP2), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

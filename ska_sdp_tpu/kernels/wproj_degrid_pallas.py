@@ -54,17 +54,39 @@ def _kernel(starts_ref, recs_hbm, tile_ref, bank_a_ref, bank_b_ref,
     nk = bank_a_ref.shape[0]
 
     b_lo = start // CHUNK               # starts are CHUNK-aligned
+    nblocks = (end - start) // CHUNK
+
+    def in_dma(slot, c):
+        return pltpu.make_async_copy(
+            recs_hbm.at[b_lo + c], recs_s.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nblocks > 0)
+    def _():
+        in_dma(0, 0).start()
 
     def chunk_body(c, _):
+        slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
+
+        @pl.when(c + 1 < nblocks)
+        def _():
+            in_dma(1 - slot, c + 1).start()
+
+        in_dma(slot, c).wait()
         b = b_lo + c
-        cp = pltpu.make_async_copy(recs_hbm.at[b], recs_s, sems.at[0])
-        cp.start()
-        cp.wait()
+
+        # the previous chunk's output DMA must have drained before its
+        # stage buffer is reused
+        @pl.when(c >= 2)
+        def _():
+            pltpu.make_async_copy(
+                stage.at[slot], out_hbm.at[b - 2], sems.at[2 + slot]
+            ).wait()
 
         def _one(u):
-            y0 = recs_s[0, u].astype(jnp.int32)
-            x0 = recs_s[1, u].astype(jnp.int32)
-            k = recs_s[2, u].astype(jnp.int32)
+            y0 = recs_s[slot, 0, u].astype(jnp.int32)
+            x0 = recs_s[slot, 1, u].astype(jnp.int32)
+            k = recs_s[slot, 2, u].astype(jnp.int32)
             k = jnp.minimum(k, jnp.int32(nk - 1))
             r = jax.lax.rem(y0, jnp.int32(8))
             x2 = x0 * 2
@@ -94,17 +116,33 @@ def _kernel(starts_ref, recs_hbm, tile_ref, bank_a_ref, bank_b_ref,
                 rows.append(rb)
             blockv = jnp.concatenate(rows, axis=0)   # (2*UNROLL, 2*gw)
             off = pl.multiple_of(iu * (2 * UNROLL), 8)
-            stage[pl.ds(off, 2 * UNROLL), : 2 * gw] = blockv
+            stage[slot, pl.ds(off, 2 * UNROLL), : 2 * gw] = blockv
             return 0
 
         jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0, unroll=False)
 
-        cpo = pltpu.make_async_copy(stage, out_hbm.at[b], sems.at[1])
-        cpo.start()
-        cpo.wait()
+        pltpu.make_async_copy(
+            stage.at[slot], out_hbm.at[b], sems.at[2 + slot]
+        ).start()
         return 0
 
-    jax.lax.fori_loop(0, (end - start) // CHUNK, chunk_body, 0, unroll=False)
+    jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
+
+    # drain the last (up to two) output DMAs before the next grid program
+    # reuses the stage buffers
+    @pl.when(nblocks >= 2)
+    def _():
+        s0 = jax.lax.rem(nblocks - 2, jnp.int32(2))
+        pltpu.make_async_copy(
+            stage.at[s0], out_hbm.at[b_lo + nblocks - 2], sems.at[2 + s0]
+        ).wait()
+
+    @pl.when(nblocks >= 1)
+    def _():
+        s1 = jax.lax.rem(nblocks - 1, jnp.int32(2))
+        pltpu.make_async_copy(
+            stage.at[s1], out_hbm.at[b_lo + nblocks - 1], sems.at[2 + s1]
+        ).wait()
 
 
 def _assemble_tiles(gp, nty: int, ntx: int):
@@ -153,16 +191,21 @@ def _preprocess(grid_shape, qpx, gh, gw, p, wbin):
     tx = x0p // TX
     t = jnp.where(valid, ty * ntx + tx, ntiles).astype(jnp.int32)
 
-    order = jnp.argsort(t)
-    t_s = t[order]
-    recs = jnp.stack(
+    # one fused multi-operand sort, with the original index as a payload
+    # (an argsort + per-field gathers costs ~8 ms per 1M-element gather on
+    # v5e — random access runs ~30M elem/s — and dominated this step)
+    n = t.shape[0]
+    t_s, r_ly, r_lx, r_k, order = jax.lax.sort(
         [
-            (y0p - ty * TY)[order].astype(jnp.float32),
-            (x0p - tx * TX)[order].astype(jnp.float32),
-            kidx[order].astype(jnp.float32),
-        ]
-    )  # [3, n]
-    n = recs.shape[1]
+            t,
+            (y0p - ty * TY).astype(jnp.float32),
+            (x0p - tx * TX).astype(jnp.float32),
+            kidx.astype(jnp.float32),
+            jnp.arange(n, dtype=jnp.int32),
+        ],
+        num_keys=1,
+    )
+    recs = jnp.stack([r_ly, r_lx, r_k])  # [3, n]
 
     starts = jnp.searchsorted(t_s, jnp.arange(ntiles + 1)).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
@@ -198,10 +241,23 @@ def _preprocess(grid_shape, qpx, gh, gw, p, wbin):
     )
     recs_p = recs_p.reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
 
-    # padded slot of each sorted record: dense unsort support
-    t_c = jnp.clip(t_s, 0, ntiles - 1)
-    slot_of_sorted = starts_pad[t_c] + (jnp.arange(n, dtype=jnp.int32)
-                                        - starts[t_c])
+    # padded slot of each sorted record — per-record tile values via the
+    # same boundary-scatter+cumsum trick (gathers from even tiny tables
+    # still pay the ~30M elem/s random-access rate)
+    def spread_n(vals):
+        buf = jnp.zeros((n,), jnp.int32)
+        deltas = vals - jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), vals[:-1]]
+        )
+        buf = buf.at[starts[:-1]].add(deltas, mode="drop")
+        return jnp.cumsum(buf)
+
+    starts_at = spread_n(starts[:-1])
+    startspad_at = spread_n(starts_pad[:-1])
+    slot_of_sorted = jnp.clip(
+        startspad_at + (jnp.arange(n, dtype=jnp.int32) - starts_at),
+        0, n_pad - 1,
+    )
     return recs_p, starts_pad, (Hp, Wp, nty, ntx), slot_of_sorted, order, valid
 
 
@@ -255,9 +311,9 @@ def wproj_degrid_planes(bank_re, bank_im, grid_re, grid_im, p, wbin,
             pl.BlockSpec(memory_space=pl.ANY),       # partials [nblk,2C,128]
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, CHUNK), jnp.float32),
-            pltpu.VMEM((2 * CHUNK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, 8, CHUNK), jnp.float32),        # double-buffered in
+            pltpu.VMEM((2, 2 * CHUNK, 128), jnp.float32),  # double-buffered out
+            pltpu.SemaphoreType.DMA((4,)),                 # 2 in + 2 out
         ],
     )
 
@@ -271,13 +327,15 @@ def wproj_degrid_planes(bank_re, bank_im, grid_re, grid_im, p, wbin,
         interpret=interpret,
     )(starts, recs, tiles.reshape(ntiles, TYP, TXP2), bank_a, bank_b)
 
-    # dense epilogue: lane reduce, select slots, unsort, zero invalid
+    # dense epilogue: lane reduce, select slots, unsort (one multi-operand
+    # sort keyed by the original index — cheaper than argsort + gathers),
+    # zero invalid
     partial = jnp.sum(out[:, :, :2 * gw], axis=-1).reshape(-1)  # [nblk·2C]
     re_s = partial[2 * slot]
     im_s = partial[2 * slot + 1]
-    inv = jnp.argsort(order)
-    vis_re = jnp.where(valid, re_s[inv], 0.0)
-    vis_im = jnp.where(valid, im_s[inv], 0.0)
+    _, re_u, im_u = jax.lax.sort([order, re_s, im_s], num_keys=1)
+    vis_re = jnp.where(valid, re_u, 0.0)
+    vis_im = jnp.where(valid, im_u, 0.0)
     return vis_re, vis_im
 
 

@@ -87,14 +87,31 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
 
     # Records are stored in CHUNK-sized blocks; a tile's range [start, end)
     # may straddle block boundaries, so boundary blocks are loaded by both
-    # neighbouring tile programs and masked.
+    # neighbouring tile programs and masked.  Record DMA is double-buffered:
+    # block c+1 streams while block c is processed.
     b_lo = start // CHUNK
+    nblocks = jnp.where(
+        end > start, (end - jnp.int32(1)) // CHUNK - b_lo + 1, 0
+    )
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            recs_hbm.at[b_lo + c], recs_s.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma(0, 0).start()
 
     def chunk_body(c, _):
+        slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
+
+        @pl.when(c + 1 < nblocks)
+        def _():
+            dma(1 - slot, c + 1).start()
+
+        dma(slot, c).wait()
         b = b_lo + c
-        cp = pltpu.make_async_copy(recs_hbm.at[b], recs_s, sems.at[0])
-        cp.start()
-        cp.wait()
         lo = jnp.maximum(start - b * CHUNK, 0)
         hi = jnp.minimum(end - b * CHUNK, CHUNK)
 
@@ -107,12 +124,12 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
             # around the store (+18% measured; Mosaic pipelines the
             # branch-free stream much better)
             in_r = (i >= lo) & (i < hi)
-            y0 = recs_s[0, i].astype(jnp.int32)
-            x0 = recs_s[1, i].astype(jnp.int32)
-            k = recs_s[2, i].astype(jnp.int32)
+            y0 = recs_s[slot, 0, i].astype(jnp.int32)
+            x0 = recs_s[slot, 1, i].astype(jnp.int32)
+            k = recs_s[slot, 2, i].astype(jnp.int32)
             k = jnp.minimum(k, jnp.int32(nk - 1))
-            vr = jnp.where(in_r, recs_s[3, i], 0.0)
-            vi = jnp.where(in_r, recs_s[4, i], 0.0)
+            vr = jnp.where(in_r, recs_s[slot, 3, i], 0.0)
+            vi = jnp.where(in_r, recs_s[slot, 4, i], 0.0)
             patch = vr * bank_a_ref[k] + vi * bank_b_ref[k]
             r = jax.lax.rem(y0, jnp.int32(8))
             x2 = x0 * 2
@@ -134,9 +151,6 @@ def _kernel(starts_ref, recs_hbm, bank_a_ref, bank_b_ref,
         jax.lax.fori_loop(0, CHUNK // UNROLL, vis_body, 0, unroll=False)
         return 0
 
-    nblocks = jnp.where(
-        end > start, (end - jnp.int32(1)) // CHUNK - b_lo + 1, 0
-    )
     jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
 
     out_ref[0] = acc[:] + acc2[:]
@@ -184,20 +198,23 @@ def _preprocess(grid_shape, qpx: int, gh: int, gw: int, p, wbin, vis_re,
     tx = x0p // TX
     t = jnp.where(valid, ty * ntx + tx, ntiles).astype(jnp.int32)
 
-    order = jnp.argsort(t)
-    t_s = t[order]
-    zero = jnp.zeros_like(vis_re)
-    recs = jnp.stack(
+    # one fused multi-operand sort — an argsort + per-field gathers costs
+    # ~8 ms per 1M-element gather on v5e (random access runs ~30M elem/s),
+    # which made preprocessing dominate the whole step in round 1
+    t_s, f0, f1, f2, f3, f4 = jax.lax.sort(
         [
-            (y0p - ty * TY)[order].astype(jnp.float32),
-            (x0p - tx * TX)[order].astype(jnp.float32),
-            kidx[order].astype(jnp.float32),
-            jnp.where(valid, vis_re, 0.0)[order].astype(jnp.float32),
-            jnp.where(valid, vis_im, 0.0)[order].astype(jnp.float32),
-            zero.astype(jnp.float32),
-            zero.astype(jnp.float32),
-            zero.astype(jnp.float32),
-        ]
+            t,
+            (y0p - ty * TY).astype(jnp.float32),
+            (x0p - tx * TX).astype(jnp.float32),
+            kidx.astype(jnp.float32),
+            jnp.where(valid, vis_re, 0.0).astype(jnp.float32),
+            jnp.where(valid, vis_im, 0.0).astype(jnp.float32),
+        ],
+        num_keys=1,
+    )
+    zero = jnp.zeros_like(f0)
+    recs = jnp.stack(
+        [f0, f1, f2, f3, f4, zero, zero, zero]
     )  # [8, n] — 8 rows keep DMA blocks sublane-tile aligned
 
     # pad to whole blocks; block-index DMA needs no lane-offset alignment
@@ -259,10 +276,10 @@ def wproj_scatter_planes(bank_re, bank_im, grid_shape: Tuple[int, int], p,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((8, CHUNK), jnp.float32),
+            pltpu.SMEM((2, 8, CHUNK), jnp.float32),
             pltpu.VMEM((TYP, TXP2), jnp.float32),
             pltpu.VMEM((TYP, TXP2), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
