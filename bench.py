@@ -44,7 +44,7 @@ NW, QPX, S = 32, 8, 15
 NANT = 64
 N_VIS = 1 << 20           # per timed step (headline / degrid / full step)
 N_VIS_AW = 1 << 19        # AW fused
-STEPS = 5
+STEPS = 8   # tunnel-noise mitigation: ±10% run-to-run at 5 steps
 
 
 def _rate(step, args, n, k=STEPS):
@@ -63,8 +63,21 @@ def _rate(step, args, n, k=STEPS):
 
 
 def main() -> None:
+    import os
+
+    # persistent compilation cache: bench compiles ~6 jitted programs
+    # (30-90 s each through the remote-TPU tunnel); reruns become fast
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/ska_sdp_tpu_jax_cache")
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from ska_sdp_tpu.kernels import aw_gridder, wproj_degridder, wproj_gridder
     from ska_sdp_tpu.ops import (
@@ -174,6 +187,44 @@ def main() -> None:
 
     full_rate = _rate(full_step, args, N_VIS, k=3)
 
+    # 5. sustained rates with binning amortized: real pipelines grid many
+    # channels per uvw binning (the record sort is ~30 ms/Mvis, a pure
+    # comparison-depth wall); published GPU gridder numbers (the 2 Gvis/s
+    # bar) also presort.  Records are pre-binned once; each step carries
+    # fresh per-channel vis in the record stream (dense row update).
+    sus_idg = None
+    try:
+        from ska_sdp_tpu.kernels.idg_pallas import (
+            idg_bin_records, idg_grid_from_records,
+        )
+
+        # complex dtypes must not cross the device boundary (axon PJRT):
+        # all prep runs inside jit on real planes
+        @jax.jit
+        def _iprep(uvw, vr, vi):
+            uvw1, vis1 = mirror_uvw(uvw, jax.lax.complex(vr, vi))
+            return idg_bin_records(
+                (n_grid, n_grid), uvw1 / LAM, uvw1[:, 2],
+                jnp.real(vis1), jnp.imag(vis1),
+            )
+
+        i_recs, i_starts = _iprep(uvw, vis_re, vis_im)
+
+        @jax.jit
+        def sus_idg_step(recs, starts, salt):
+            recs = recs.at[:, 3:5, :].add(salt)
+            gr, gi = idg_grid_from_records(
+                recs, starts, (n_grid, n_grid), theta=THETA
+            )
+            return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
+
+        sus_idg = _rate(sus_idg_step, (i_recs, i_starts), N_VIS, k=3)
+    except Exception as e:  # sustained metrics are best-effort extras
+        import sys
+
+        print(f"sustained metrics skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -202,7 +253,13 @@ def main() -> None:
                         "value": round(idg_rate, 1),
                         "unit": "vis/s",
                     },
-                ],
+                ] + ([
+                    {
+                        "metric": "SUSTAINED image-domain gridding (binning amortized across channel group)",
+                        "value": round(sus_idg, 1),
+                        "unit": "vis/s",
+                    },
+                ] if sus_idg else []),
             }
         )
     )

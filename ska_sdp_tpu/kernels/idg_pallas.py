@@ -182,15 +182,14 @@ def _prep(N: int, S: int, T: int, PADM: int, nty: int, p, w, vis_re, vis_im,
     return recs, starts
 
 
-def idg_grid_wproj_pallas(grid_shape, p, w, vis_re, vis_im, *, theta: float,
-                          subgrid: int = 64, support: int = 15,
-                          taper_beta: float = 12.0,
-                          interpret: bool = False):
-    """IDG gridding on TPU; returns (grid_re, grid_im) [N, N] float32.
+def idg_bin_records(grid_shape, p, w, vis_re, vis_im, *, subgrid: int = 64,
+                    support: int = 15):
+    """Bin + sort visibilities into the kernel's record stream.
 
-    Same contract as ``ops.idg.idg_grid_wproj`` (which remains the
-    oracle / CPU path); the resulting dirty image must be divided by the
-    taper (``ops.idg.taper_fine``).
+    Returns (recs [nblk, 8, CHUNK], starts [n_sub+1]).  Exposed separately
+    so multi-channel runs can amortize the sort (the ~30 ms/Mvis
+    comparison-depth wall, BENCH.md round 2): channels sharing uvw reuse
+    the binning and only the vis rows (recs[:, 3:5, :]) change.
     """
     N, Nx = grid_shape
     assert N == Nx
@@ -199,9 +198,21 @@ def idg_grid_wproj_pallas(grid_shape, p, w, vis_re, vis_im, *, theta: float,
     assert support <= T + 1
     PADM = T
     nty = -(-(N + 2 * PADM) // T) + 1
-    n_sub = nty * nty
+    return _prep(N, S, T, PADM, nty, p, w, vis_re, vis_im, support)
 
-    recs, starts = _prep(N, S, T, PADM, nty, p, w, vis_re, vis_im, support)
+
+def idg_grid_from_records(recs, starts, grid_shape, *, theta: float,
+                          subgrid: int = 64, taper_beta: float = 12.0,
+                          interpret: bool = False):
+    """IDG gridding from a pre-binned record stream (see
+    :func:`idg_bin_records`); returns (grid_re, grid_im)."""
+    N, Nx = grid_shape
+    assert N == Nx
+    S = subgrid
+    T = S // 2
+    PADM = T
+    nty = -(-(N + 2 * PADM) // T) + 1
+    n_sub = nty * nty
 
     # DFT matrix with taper folded: F' = F·diag(taper)
     k = np.arange(S, dtype=np.float64) - S // 2
@@ -250,6 +261,25 @@ def idg_grid_wproj_pallas(grid_shape, p, w, vis_re, vis_im, *, theta: float,
     g_im = _fold_overlap(patches[..., S:], nty, nty, S, T)
     lo = PADM
     return g_re[lo:lo + N, lo:lo + N], g_im[lo:lo + N, lo:lo + N]
+
+
+def idg_grid_wproj_pallas(grid_shape, p, w, vis_re, vis_im, *, theta: float,
+                          subgrid: int = 64, support: int = 15,
+                          taper_beta: float = 12.0,
+                          interpret: bool = False):
+    """IDG gridding on TPU; returns (grid_re, grid_im) [N, N] float32.
+
+    Same contract as ``ops.idg.idg_grid_wproj`` (which remains the
+    oracle / CPU path); the resulting dirty image must be divided by the
+    taper (``ops.idg.taper_fine``).
+    """
+    recs, starts = idg_bin_records(
+        grid_shape, p, w, vis_re, vis_im, subgrid=subgrid, support=support
+    )
+    return idg_grid_from_records(
+        recs, starts, grid_shape, theta=theta, subgrid=subgrid,
+        taper_beta=taper_beta, interpret=interpret,
+    )
 
 
 def idg_gridder_pallas(grid_shape, p, w, vis, *, theta: float,

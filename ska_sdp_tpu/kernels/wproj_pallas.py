@@ -235,26 +235,17 @@ def _interleave_bank(bank_re, bank_im):
     return a, b
 
 
-def wproj_scatter_planes(bank_re, bank_im, grid_shape: Tuple[int, int], p,
-                         wbin, vis_re, vis_im, interpret: bool = False):
-    """Tile-privatized scatter; real/imag planes in and out.
-
-    Args:
-      bank_re/bank_im: [nw, qpx, qpx, gh, gw] float32 kernel bank planes
-        (pre-conjugated bank, like ``ops.convgrid_wproj``).
-      grid_shape: (H, W) static.
-      p: [n, 3] scaled baselines.
-      wbin: [n] int32.
-      vis_re/vis_im: [n] float32.
-    Returns:
-      (grid_re, grid_im) [H, W] float32.
-    """
+def wproj_scatter_from_records(bank_re, bank_im,
+                               grid_shape: Tuple[int, int], recs, starts,
+                               interpret: bool = False):
+    """Tile-privatized scatter from a pre-binned record stream
+    (``_preprocess`` output) — lets multi-channel runs amortize the
+    ~30 ms/Mvis record sort (BENCH.md round 2): only the vis rows
+    (recs[:, 3:5, :]) change between channels sharing uvw."""
     nw, qpx, _, gh, gw = bank_re.shape
     assert gh <= PAD and gw <= PADX, "kernel support exceeds tile halo"
     H, W = grid_shape
-    recs, starts, (Hp, Wp, nty, ntx) = _preprocess(
-        grid_shape, qpx, gh, gw, p, wbin, vis_re, vis_im
-    )
+    Hp, Wp, nty, ntx = _geometry(H, W)
     ntiles = nty * ntx
     TYP, TXP2 = TY + PAD, 2 * (TX + PADX)
 
@@ -296,6 +287,29 @@ def wproj_scatter_planes(bank_re, bank_im, grid_shape: Tuple[int, int], p,
     g = _fold_tiles(out.reshape(nty, ntx, TYP, TXP2), nty, ntx, xs=2)
     g = g[PAD : PAD + H, 2 * PAD : 2 * (PAD + W)]
     return g[:, 0::2], g[:, 1::2]
+
+
+def wproj_scatter_planes(bank_re, bank_im, grid_shape: Tuple[int, int], p,
+                         wbin, vis_re, vis_im, interpret: bool = False):
+    """Tile-privatized scatter; real/imag planes in and out.
+
+    Args:
+      bank_re/bank_im: [nw, qpx, qpx, gh, gw] float32 kernel bank planes
+        (pre-conjugated bank, like ``ops.convgrid_wproj``).
+      grid_shape: (H, W) static.
+      p: [n, 3] scaled baselines.
+      wbin: [n] int32.
+      vis_re/vis_im: [n] float32.
+    Returns:
+      (grid_re, grid_im) [H, W] float32.
+    """
+    nw, qpx, _, gh, gw = bank_re.shape
+    recs, starts, _ = _preprocess(
+        grid_shape, qpx, gh, gw, p, wbin, vis_re, vis_im
+    )
+    return wproj_scatter_from_records(
+        bank_re, bank_im, grid_shape, recs, starts, interpret=interpret
+    )
 
 
 def wproj_gridder_pallas(bank_conj, grid_shape, p, wbin, vis,

@@ -182,6 +182,48 @@ class TestIDGPallas:
         assert (np.linalg.norm(np.asarray(g_p) - np.asarray(g_x))
                 / np.linalg.norm(np.asarray(g_x))) < 1e-5
 
+    def test_binning_reuse_across_channels(self, rng):
+        # multi-channel amortization: bin once, swap the vis rows of the
+        # record stream, grid — must equal binning the new channel fresh
+        import jax
+
+        from ska_sdp_tpu.kernels.idg_pallas import (
+            idg_bin_records,
+            idg_grid_from_records,
+            idg_gridder_pallas,
+        )
+
+        p, w, vis_a = _problem(rng, b=200)
+        vis_b = (rng.standard_normal(200)
+                 + 1j * rng.standard_normal(200)).astype(np.complex64)
+
+        recs, starts = idg_bin_records(
+            (N, N), jnp.asarray(p), jnp.asarray(w),
+            jnp.real(jnp.asarray(vis_a)), jnp.imag(jnp.asarray(vis_a)),
+            subgrid=32,
+        )
+        # channel B's vis arrive in record order: rebin channel B only to
+        # extract its sorted vis rows, then splice them into channel A's
+        # records (same uvw ⇒ identical ordering)
+        recs_b, _ = idg_bin_records(
+            (N, N), jnp.asarray(p), jnp.asarray(w),
+            jnp.real(jnp.asarray(vis_b)), jnp.imag(jnp.asarray(vis_b)),
+            subgrid=32,
+        )
+        spliced = recs.at[:, 3:5, :].set(recs_b[:, 3:5, :])
+        gr, gi = idg_grid_from_records(
+            spliced, starts, (N, N), theta=THETA, subgrid=32,
+            interpret=True,
+        )
+        got = jax.lax.complex(gr, gi)
+        want = idg_gridder_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis_b),
+            theta=THETA, subgrid=32, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+
     def test_s64_matches_truth(self, rng):
         from ska_sdp_tpu.kernels.idg_pallas import idg_gridder_pallas
 
