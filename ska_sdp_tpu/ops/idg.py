@@ -274,7 +274,10 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
         jnp.pad(chunk_sub, (0, pad_c),
                 constant_values=n_sub).reshape(nb, batch),
     )
-    sub_imgs = jnp.zeros((n_sub + 1, S, S), cdt)         # +1 = dropped slot
+    # +1 = dropped slot; the `+ 0·data` term inherits device-varying typing
+    # under shard_map so the scan carry type-checks (cf. sharded.py's
+    # _varying_zeros) and is a no-op otherwise
+    sub_imgs = jnp.zeros((n_sub + 1, S, S), cdt) + vv_c.ravel()[0] * 0
     sub_imgs, _ = jax.lax.scan(scan_body, sub_imgs, args)
     sub_imgs = sub_imgs[:n_sub]
 

@@ -205,6 +205,53 @@ def make_sharded_wproj_step_gridfft(mesh: Mesh, theta: float, lam: int,
     return jax.jit(fn)
 
 
+def make_sharded_idg_step(mesh: Mesh, theta: float, lam: int,
+                          subgrid: int = 32, taper_beta: float = 12.0):
+    """Jitted sharded image-domain-gridding step:
+    (uvw_m, freq, vis) → taper-corrected dirty image.
+
+    The IDG mode scaled out exactly like the bank path: each chip bins and
+    grids its visibility shard (subgrid matmuls are shard-local), one psum
+    merges the partial uv-grids, hermitian + iFFT + taper correction run
+    replicated.  No kernel bank to replicate at all — the screens are
+    analytic (``ops/idg.py``).
+    """
+    from ..kernels import idg_gridder
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    n_grid = int(round(theta * lam))
+
+    def local(uvw, freq, vis):
+        uvw_l = uvw_lambda(freq, uvw)
+        from ..ops.coords import frac_coords
+
+        p = uvw_l / lam
+        x, _, y, _ = frac_coords((n_grid, n_grid), 1, p)
+        flat = (y * n_grid + x).ravel()
+        counts = _varying_zeros((n_grid * n_grid,), uvw.dtype).at[flat].add(1.0)
+        counts = jax.lax.psum(counts, VIS_AXIS)
+        wt = (1.0 / counts[flat]).astype(vis.dtype)
+
+        uvw1, vis1 = mirror_uvw(uvw_l, vis)
+        part = idg_gridder(
+            (n_grid, n_grid), uvw1 / lam, uvw1[:, 2], wt * vis1,
+            theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        )
+        full = jax.lax.psum(part, VIS_AXIS)
+        img = jnp.real(ifft_centered(make_grid_hermitian(full)))
+        tf = taper_fine(n_grid, subgrid,
+                        kaiser_taper(subgrid, taper_beta)).astype(img.dtype)
+        return img / (tf[:, None] * tf[None, :])
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(VIS_AXIS), P(), P(VIS_AXIS)),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_predict_step(mesh: Mesh, theta: float, lam: int,
                               chunk: int = 1024):
     """Jitted sharded predict: (bank, centers, image, uvw, freq) → vis.

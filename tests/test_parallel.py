@@ -385,3 +385,36 @@ class TestGridScatterStep:
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+
+
+class TestShardedIDG:
+    def test_idg_step_matches_unsharded(self, rng, mesh):
+        from ska_sdp_tpu.ops.idg import (
+            idg_grid_wproj,
+            kaiser_taper,
+            taper_fine,
+        )
+        from ska_sdp_tpu.parallel import make_sharded_idg_step
+
+        theta, lam = 0.05, 2560   # 128² grid
+        b = 8 * 11
+        uvw = jnp.asarray(rng.uniform(-0.3 * lam, 0.3 * lam, size=(b, 3)))
+        vis = jnp.asarray(_rand_cplx(rng, b)).astype(jnp.complex128)
+        freq = jnp.asarray(299792458.0)
+
+        step = make_sharded_idg_step(mesh, theta, lam, subgrid=32)
+        img = step(uvw, freq, vis)
+
+        # unsharded reference chain (same weighting + IDG + correction)
+        n = int(round(theta * lam))
+        uvw_l = ops.uvw_lambda(freq, uvw)
+        wt = ops.doweight(theta, lam, uvw_l, jnp.ones_like(vis))
+        uvw1, vis1 = ops.mirror_uvw(uvw_l, vis)
+        guv = idg_grid_wproj(
+            (n, n), uvw1 / lam, uvw1[:, 2], wt * vis1, theta=theta,
+            subgrid=32,
+        )
+        want = jnp.real(ops.ifft_centered(ops.make_grid_hermitian(guv)))
+        tf = np.asarray(taper_fine(n, 32, kaiser_taper(32, 12.0)))
+        want = np.asarray(want) / np.outer(tf, tf)
+        np.testing.assert_allclose(np.asarray(img), want, atol=1e-9)
