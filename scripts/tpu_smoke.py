@@ -115,6 +115,38 @@ def main() -> int:
         Na, k=3,
     )
     print(f"AW fused:       {rate/1e6:.2f} M vis/s")
+
+    # --- image-domain gridding: on-chip parity vs the XLA IDG path + rate
+    from ska_sdp_tpu.kernels.idg_pallas import idg_grid_wproj_pallas
+    from ska_sdp_tpu.ops.idg import idg_grid_wproj
+
+    THETA = 0.008
+    wvs = jnp.asarray(rng.uniform(-3800, 3800, ns).astype(np.float32))
+
+    @jax.jit
+    def parity_idg(p, w, vr, vi):
+        gr, gi = idg_grid_wproj_pallas((hs, hs), p, w, vr, vi,
+                                       theta=THETA, subgrid=32)
+        want = idg_grid_wproj((hs, hs), p, w, jax.lax.complex(vr, vi),
+                              theta=THETA, subgrid=32)
+        diff = jax.lax.complex(gr, gi) - want
+        return jnp.max(jnp.abs(diff)) / (jnp.max(jnp.abs(want)) + 1e-30)
+
+    ei = float(parity_idg(ps, wvs, vrs, vis_))
+    good = ei < 2e-4
+    ok &= good
+    print(f"{'PASS' if good else 'FAIL'} IDG parity: rel err {ei:.2e}")
+
+    wvb = jnp.asarray(rng.uniform(-3800, 3800, N).astype(np.float32))
+
+    @jax.jit
+    def si(p, w, vr, vi, salt):
+        gr, gi = idg_grid_wproj_pallas((NG, NG), p, w, vr, vi + salt,
+                                       theta=THETA, subgrid=64)
+        return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
+
+    rate = _time(si, (p, wvb, vr, vi), N, k=3)
+    print(f"IDG:            {rate/1e6:.2f} M vis/s")
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

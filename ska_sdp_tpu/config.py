@@ -61,6 +61,8 @@ class ImagingConfig:
     backend: str = "jax"         # "jax" | "pallas" | "oracle"
     n_vis: Optional[int] = None  # visibility-count cap (CLI -n); None = all
     use_old_path: bool = False   # CLI -old: per-vis scatter (convgrid3 analog)
+    aw_slab: int = 1 << 16       # patch-stream AW fallback slab size
+                                 # (kernels.aw_gridder `slab`)
 
     @property
     def precision(self) -> Precision:

@@ -54,6 +54,20 @@ def _swapneg(x):
     return jnp.where(lane % 2 == 0, -left, right)
 
 
+# MXU precision of the kernel's DFT-sandwich matmuls.  Mosaic's DEFAULT
+# f32 dot is ONE bf16 pass (~2.5e-3 relative — matches the AW test
+# tolerances); HIGHEST is exact f32 but halves throughput (6.0 → 3.4
+# M vis/s measured), and a hand-rolled 3-pass bf16 split was slower still
+# (2.7 M, 410 s Mosaic compile — experiments/probe_idg_bf16.py notes).
+# Set SKA_SDP_TPU_AW_EXACT=1 to trade speed for exact f32 matmuls; the
+# XLA AW path (SKA_SDP_TPU_GRIDDER=xla) is always exact.
+import os as _os
+
+_AW_PRECISION = (jax.lax.Precision.HIGHEST
+                 if _os.environ.get("SKA_SDP_TPU_AW_EXACT") == "1"
+                 else jax.lax.Precision.DEFAULT)
+
+
 def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
             c1_ref, c2_ref, bdr_ref, bdi_ref,
             out_ref, recs_s, acc, acc2, sems, *, m: int, s: int):
@@ -118,9 +132,11 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
             # the 2s interleaved patch columns
             r_all = (
                 jnp.dot(xr_all, c1_ref[:],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_AW_PRECISION)
                 + jnp.dot(xi_all, c2_ref[:],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=_AW_PRECISION)
             )                                     # (U·m²/128, pv·2s)
             rs_all = _swapneg(r_all)
             # block-structured left product, one matmul pair per packed
@@ -130,9 +146,11 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
                 cols = slice(v * 2 * s, (v + 1) * 2 * s)
                 term = (
                     jnp.dot(bdr_ref[v], r_all[:, cols],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_AW_PRECISION)
                     + jnp.dot(bdi_ref[v], rs_all[:, cols],
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=_AW_PRECISION)
                 )
                 i_all = term if i_all is None else i_all + term
 
@@ -272,11 +290,7 @@ def aw_fused_scatter_planes(pair_r, pair_i, wsp_r, wsp_i, grid_shape,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pair_i
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wsp_r
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wsp_i
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # c1
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # c2
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bdr
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # bdi
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,  # c1 c2 bdr bdi
         out_specs=[
             pl.BlockSpec((1, TYP, TXP2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),

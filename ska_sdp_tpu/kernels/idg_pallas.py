@@ -106,13 +106,18 @@ def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
 
         dn = (((1,), (1,)), ((), ()))                  # contract lanes
         f32 = jnp.float32
+        hp = jax.lax.Precision.HIGHEST
         a_re[:] += (
-            jax.lax.dot_general(u_re, ex_re, dn, preferred_element_type=f32)
-            - jax.lax.dot_general(u_im, ex_im, dn, preferred_element_type=f32)
+            jax.lax.dot_general(u_re, ex_re, dn, preferred_element_type=f32,
+                                precision=hp)
+            - jax.lax.dot_general(u_im, ex_im, dn, preferred_element_type=f32,
+                                  precision=hp)
         )
         a_im[:] += (
-            jax.lax.dot_general(u_re, ex_im, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(u_im, ex_re, dn, preferred_element_type=f32)
+            jax.lax.dot_general(u_re, ex_im, dn, preferred_element_type=f32,
+                                precision=hp)
+            + jax.lax.dot_general(u_im, ex_re, dn, preferred_element_type=f32,
+                                  precision=hp)
         )
         return 0
 
@@ -120,23 +125,32 @@ def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
 
     # centered DFT sandwich with the taper folded into F: patch = F a Fᵀ
     f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
     dn_nt = (((1,), (0,)), ((), ()))                   # F · a
     b_re = (
-        jax.lax.dot_general(fre_ref[:], a_re[:], dn_nt, preferred_element_type=f32)
-        - jax.lax.dot_general(fim_ref[:], a_im[:], dn_nt, preferred_element_type=f32)
+        jax.lax.dot_general(fre_ref[:], a_re[:], dn_nt,
+                            preferred_element_type=f32, precision=hp)
+        - jax.lax.dot_general(fim_ref[:], a_im[:], dn_nt,
+                              preferred_element_type=f32, precision=hp)
     )
     b_im = (
-        jax.lax.dot_general(fre_ref[:], a_im[:], dn_nt, preferred_element_type=f32)
-        + jax.lax.dot_general(fim_ref[:], a_re[:], dn_nt, preferred_element_type=f32)
+        jax.lax.dot_general(fre_ref[:], a_im[:], dn_nt,
+                            preferred_element_type=f32, precision=hp)
+        + jax.lax.dot_general(fim_ref[:], a_re[:], dn_nt,
+                              preferred_element_type=f32, precision=hp)
     )
     dn_t = (((1,), (1,)), ((), ()))                    # (F·a) · Fᵀ
     c_re = (
-        jax.lax.dot_general(b_re, fre_ref[:], dn_t, preferred_element_type=f32)
-        - jax.lax.dot_general(b_im, fim_ref[:], dn_t, preferred_element_type=f32)
+        jax.lax.dot_general(b_re, fre_ref[:], dn_t,
+                            preferred_element_type=f32, precision=hp)
+        - jax.lax.dot_general(b_im, fim_ref[:], dn_t,
+                              preferred_element_type=f32, precision=hp)
     )
     c_im = (
-        jax.lax.dot_general(b_re, fim_ref[:], dn_t, preferred_element_type=f32)
-        + jax.lax.dot_general(b_im, fre_ref[:], dn_t, preferred_element_type=f32)
+        jax.lax.dot_general(b_re, fim_ref[:], dn_t,
+                            preferred_element_type=f32, precision=hp)
+        + jax.lax.dot_general(b_im, fre_ref[:], dn_t,
+                              preferred_element_type=f32, precision=hp)
     )
     out_ref[0] = jnp.concatenate([c_re, c_im], axis=1)
 

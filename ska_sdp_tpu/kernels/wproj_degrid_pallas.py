@@ -84,9 +84,10 @@ def _kernel(starts_ref, recs_hbm, tile_ref, bank_a_ref, bank_b_ref,
             ).wait()
 
         def _one(u):
-            y0 = recs_s[slot, 0, u].astype(jnp.int32)
-            x0 = recs_s[slot, 1, u].astype(jnp.int32)
-            k = recs_s[slot, 2, u].astype(jnp.int32)
+            code = recs_s[slot, 0, u].astype(jnp.int32)
+            y0 = code // 512
+            x0 = code - y0 * 512
+            k = recs_s[slot, 1, u].astype(jnp.int32)
             k = jnp.minimum(k, jnp.int32(nk - 1))
             r = jax.lax.rem(y0, jnp.int32(8))
             x2 = x0 * 2
@@ -195,17 +196,16 @@ def _preprocess(grid_shape, qpx, gh, gw, p, wbin):
     # (an argsort + per-field gathers costs ~8 ms per 1M-element gather on
     # v5e — random access runs ~30M elem/s — and dominated this step)
     n = t.shape[0]
-    t_s, r_ly, r_lx, r_k, order = jax.lax.sort(
-        [
-            t,
-            (y0p - ty * TY).astype(jnp.float32),
-            (x0p - tx * TX).astype(jnp.float32),
-            kidx.astype(jnp.float32),
-            jnp.arange(n, dtype=jnp.int32),
-        ],
+    # (ly, lx) packed into one f32-exact code (ly<144, lx<384 ⇒ 17 bits
+    # < f32's 24-bit mantissa) — each padded-record field below costs one
+    # ~9 ms n_pad-sized gather, so fewer fields is a direct win
+    code = ((y0p - ty * TY) * 512 + (x0p - tx * TX)).astype(jnp.float32)
+    t_s, r_code, r_k, order = jax.lax.sort(
+        [t, code, kidx.astype(jnp.float32),
+         jnp.arange(n, dtype=jnp.int32)],
         num_keys=1,
     )
-    recs = jnp.stack([r_ly, r_lx, r_k])  # [3, n]
+    recs = jnp.stack([r_code, r_k])  # [2, n]
 
     starts = jnp.searchsorted(t_s, jnp.arange(ntiles + 1)).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
@@ -236,8 +236,8 @@ def _preprocess(grid_shape, qpx, gh, gw, p, wbin):
     src = jnp.where(ok, starts_j + local, 0)
     okf = ok.astype(jnp.float32)
     recs_p = jnp.stack(
-        [recs[0][src] * okf, recs[1][src] * okf, recs[2][src] * okf]
-        + [jnp.zeros((n_pad,), jnp.float32)] * 5
+        [recs[0][src] * okf, recs[1][src] * okf]
+        + [jnp.zeros((n_pad,), jnp.float32)] * 6
     )
     recs_p = recs_p.reshape(8, n_pad // CHUNK, CHUNK).transpose(1, 0, 2)
 

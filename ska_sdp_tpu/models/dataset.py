@@ -118,8 +118,10 @@ def get_wkernels(wfile: str, theta: float):
     return bank, centers
 
 
-@partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
-def _aw_pipeline(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *, theta, lam, chunk):
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "chunk", "slab"))
+def _aw_pipeline(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *, theta,
+                 lam, chunk, slab=1 << 16):
     """The jitted device program: preprocess → AW grid → hermitian → image.
 
     Complex inputs cross the boundary as real pairs (see utils.cplx) because
@@ -130,7 +132,8 @@ def _aw_pipeline(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *, theta, lam, 
     uvw1, vis1 = mirror_uvw(uvw0, vis)
     src = (a1, a2, ts, f)
     guv = aw_imaging(
-        theta, lam, wkerns, wbins, akerns, uvw1, src, wt * vis1, chunk=chunk
+        theta, lam, wkerns, wbins, akerns, uvw1, src, wt * vis1,
+        chunk=chunk, slab=slab,
     )
     img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
     return img, jnp.max(img)
@@ -194,6 +197,7 @@ def aw_gridding(
             theta=theta,
             lam=lam,
             chunk=min(8192, max(256, n)),
+            slab=config.aw_slab,
         )
         img = np.asarray(img)
         mx = float(mx)

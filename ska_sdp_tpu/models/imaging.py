@@ -135,6 +135,7 @@ def aw_imaging(
     src,
     vis,
     chunk: int = 8192,
+    slab: int = 1 << 16,
 ):
     """AW-projection imaging (ref ``aw_imaging`` Gridding.hs:452-478).
 
@@ -152,7 +153,8 @@ def aw_imaging(
     from ..kernels import aw_gridder
 
     return aw_gridder(
-        wkernels, akernels, guv, uvw / lam, wbin, a1, a2, vis, chunk=chunk
+        wkernels, akernels, guv, uvw / lam, wbin, a1, a2, vis, chunk=chunk,
+        slab=slab,
     )
 
 

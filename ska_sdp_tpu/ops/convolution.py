@@ -65,8 +65,9 @@ def _synthesis_mat(n: int, m: int):
 def _sandwich(M, x):
     """M @ x @ M.T batched over leading axes of x (two MXU matmuls)."""
     M = jnp.asarray(M, dtype=jnp.result_type(x, jnp.complex64))
-    t = jnp.einsum("ms,...st->...mt", M, x)
-    return jnp.einsum("...mt,nt->...mn", t, M)
+    hp = __import__("jax").lax.Precision.HIGHEST
+    t = jnp.einsum("ms,...st->...mt", M, x, precision=hp)
+    return jnp.einsum("...mt,nt->...mn", t, M, precision=hp)
 
 
 def _spec(a, m: int):

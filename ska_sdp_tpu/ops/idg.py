@@ -260,7 +260,8 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
         Ey = jnp.exp(1j * ph_y).astype(cdt)
         Ex = jnp.exp(1j * ph_x).astype(cdt)
         a = jnp.einsum("cbq,cbr->cqr", Ey * v_b[..., None], Ex,
-                       preferred_element_type=cdt)
+                       preferred_element_type=cdt,
+                       precision=jax.lax.Precision.HIGHEST)
         a = a / (S * S)
         return acc.at[sub_b].add(a), None
 
@@ -288,6 +289,7 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
 
     # ---- subgrid uv patches: centered DFT sandwich (MXU) and overlap-add
     patches = jnp.einsum("yq,sqr,xr->syx", F, sub_imgs, F,
-                         preferred_element_type=cdt)
+                         preferred_element_type=cdt,
+                         precision=jax.lax.Precision.HIGHEST)
     gp = _fold_overlap(patches.reshape(nty, nty, S, S), nty, nty, S, T)
     return gp[PADM:PADM + N, PADM:PADM + N]
