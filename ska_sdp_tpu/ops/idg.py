@@ -293,3 +293,152 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
                          precision=jax.lax.Precision.HIGHEST)
     gp = _fold_overlap(patches.reshape(nty, nty, S, S), nty, nty, S, T)
     return gp[PADM:PADM + N, PADM:PADM + N]
+
+
+def _overlap_windows(gp, nty: int, S: int, T: int):
+    """All S×S subgrid windows (stride T, S = 2T) of the padded grid —
+    the inverse of :func:`_fold_overlap`, four dense block stacks."""
+    assert S == 2 * T
+    b = gp.reshape(nty + 1, T, nty + 1, T).transpose(0, 2, 1, 3)
+    tl = b[:nty, :nty]
+    tr = b[:nty, 1:]
+    bl = b[1:, :nty]
+    br = b[1:, 1:]
+    top = jnp.concatenate([tl, tr], axis=-1)      # [nty, nty, T, 2T]
+    bot = jnp.concatenate([bl, br], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)   # [nty, nty, 2T, 2T]
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "theta", "subgrid",
+                                   "chunk", "batch", "support",
+                                   "taper_beta"))
+def idg_degrid_wproj(grid_shape, p, w, grid, *, theta: float,
+                     subgrid: int = 32, chunk: int = 128,
+                     batch: int = 256, support: int = 15,
+                     taper_beta: float = 12.0):
+    """Image-domain DEgridding: the exact adjoint of :func:`idg_grid_wproj`.
+
+    Per subgrid the uv window is inverse-DFT-sandwiched back to a coarse
+    image, and each visibility reads its value as a rank-1 contraction
+    against the conjugated phase factors — exact continuous (u, v, w)
+    evaluation, no oversampling quantization (the bank path's
+    ``degrid_wproj`` quantizes to 1/qpx cells).
+
+    For model PREDICTION divide the model image by the taper before the
+    forward FFT: ``predict = idg_degrid_wproj(fft(img / taper²))`` — the
+    taper inside the operator then cancels (standard IDG degridding).
+
+    Args mirror :func:`idg_grid_wproj`; ``grid`` is the [N, N] uv-grid.
+    Returns [n] complex visibilities (OOB records → 0).
+    """
+    N, Nx = grid_shape
+    assert N == Nx, "IDG path assumes a square grid"
+    S, T = subgrid, subgrid // 2
+    s = support
+    assert s <= T + 1
+    PADM = T
+    nty = -(-(N + 2 * PADM) // T) + 1
+    n_sub = nty * nty
+    cdt = grid.dtype
+    n = p.shape[0]
+
+    # ---- identical binning/sort to the gridder
+    yc, _ = frac_coord(N, 1, p[:, 1])
+    xc, _ = frac_coord(N, 1, p[:, 0])
+    y0 = yc - s // 2
+    x0 = xc - s // 2
+    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
+    y0p = jnp.where(valid, y0 + PADM, 0)
+    x0p = jnp.where(valid, x0 + PADM, 0)
+    gy = y0p // T
+    gx = x0p // T
+    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
+    order = jnp.argsort(t)
+    t_s = t[order]
+    ycf = (N // 2 + p[:, 1] * N + PADM)[order]
+    xcf = (N // 2 + p[:, 0] * N + PADM)[order]
+    w_s = w[order]
+
+    starts = jnp.searchsorted(t_s, jnp.arange(n_sub + 1)).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    counts_pad = ((counts + chunk - 1) // chunk) * chunk
+    starts_pad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
+    )
+    n_chunks_max = n // chunk + n_sub + 1
+    n_pad = n_chunks_max * chunk
+    j = jnp.arange(n_pad, dtype=jnp.int32)
+    starts_pad_j = _spread_i32(starts_pad[:-1], starts_pad[:-1], n_pad)
+    starts_j = _spread_i32(starts[:-1], starts_pad[:-1], n_pad)
+    counts_j = _spread_i32(counts, starts_pad[:-1], n_pad)
+    tile_j = _spread_i32(jnp.arange(n_sub, dtype=jnp.int32),
+                         starts_pad[:-1], n_pad)
+    local = j - starts_pad_j
+    ok = local < counts_j
+    src = jnp.where(ok, starts_j + local, 0)
+    gy_j = tile_j // nty
+    gx_j = tile_j - gy_j * nty
+    dy = ycf[src] - (gy_j * T).astype(p.dtype) - (S // 2)
+    dx = xcf[src] - (gx_j * T).astype(p.dtype) - (S // 2)
+    wv = w_s[src]
+    chunk_sub = tile_j[::chunk]
+
+    # ---- subgrid coarse images: adjoint sandwich a = F'ᴴ · W · conj(F')
+    gp = jnp.zeros(((nty + 1) * T, (nty + 1) * T), cdt)
+    gp = gp.at[PADM:PADM + N, PADM:PADM + N].set(grid)
+    wins = _overlap_windows(gp, nty, S, T).reshape(n_sub, S, S)
+    F = _dft_matrix(S, cdt)
+    if taper_beta > 0:
+        t1 = kaiser_taper(S, taper_beta, jnp.float32)
+        F = F * t1[None, :].astype(cdt)
+    Fc = jnp.conj(F)
+    a_sub = jnp.einsum("qy,syx,xr->sqr", jnp.conj(F).T, wins, Fc,
+                       preferred_element_type=cdt,
+                       precision=jax.lax.Precision.HIGHEST) / (S * S)
+    a_sub = jnp.concatenate(
+        [a_sub, jnp.zeros((1, S, S), cdt)], axis=0     # dropped-slot row
+    )
+
+    q = jnp.arange(S, dtype=jnp.float32) - S // 2
+    lq = q * (theta / S)
+    lq2 = lq * lq
+    dy_c = dy.reshape(n_chunks_max, chunk)
+    dx_c = dx.reshape(n_chunks_max, chunk)
+    wv_c = wv.reshape(n_chunks_max, chunk)
+
+    def scan_body(_, args):
+        dy_b, dx_b, w_b, sub_b = args
+        ph_y = (2.0 * jnp.pi / S) * dy_b[..., None] * q[None, None, :] \
+            - jnp.pi * w_b[..., None] * lq2[None, None, :]
+        ph_x = (2.0 * jnp.pi / S) * dx_b[..., None] * q[None, None, :] \
+            - jnp.pi * w_b[..., None] * lq2[None, None, :]
+        ey_c = jnp.exp(-1j * ph_y).astype(cdt)         # conj(E_y)
+        ex_c = jnp.exp(-1j * ph_x).astype(cdt)
+        a_b = a_sub[sub_b]                             # [B, S, S] row gather
+        v = jnp.einsum("cqr,cbq,cbr->cb", a_b, ey_c, ex_c,
+                       preferred_element_type=cdt,
+                       precision=jax.lax.Precision.HIGHEST)
+        return None, v
+
+    nb = -(-n_chunks_max // batch)
+    pad_c = nb * batch - n_chunks_max
+    args = (
+        jnp.pad(dy_c, ((0, pad_c), (0, 0))).reshape(nb, batch, chunk),
+        jnp.pad(dx_c, ((0, pad_c), (0, 0))).reshape(nb, batch, chunk),
+        jnp.pad(wv_c, ((0, pad_c), (0, 0))).reshape(nb, batch, chunk),
+        jnp.pad(chunk_sub, (0, pad_c),
+                constant_values=n_sub).reshape(nb, batch),
+    )
+    _, v_blocks = jax.lax.scan(scan_body, None, args)
+    v_pad = v_blocks.reshape(-1)[: n_pad]
+
+    # ---- unsort: padded slot → sorted position → original order (scatter
+    # with drop for masked slots, then one key-payload sort by `order`)
+    sorted_v = jnp.zeros((n,), cdt).at[
+        jnp.where(ok, src, n)
+    ].set(v_pad, mode="drop")
+    _, v_re, v_im = jax.lax.sort(
+        [order, jnp.real(sorted_v), jnp.imag(sorted_v)], num_keys=1
+    )
+    out = jax.lax.complex(v_re, v_im).astype(cdt)
+    return jnp.where(valid, out, 0)

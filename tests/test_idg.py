@@ -166,6 +166,63 @@ class TestIDGAccuracy:
         assert float(jnp.abs(g).sum()) == 0.0
 
 
+class TestIDGDegrid:
+    def test_adjoint(self, rng):
+        # <grid(vis), G> == <vis, degrid(G)> through the IDG pair
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        p, w, vis = _problem(rng, b=300)
+        G = (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        Av = idg_grid_wproj(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis),
+            theta=THETA,
+        )
+        AtG = idg_degrid_wproj(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(G),
+            theta=THETA,
+        )
+        lhs = complex(jnp.vdot(jnp.asarray(G), Av))
+        rhs = complex(jnp.vdot(AtG, jnp.asarray(vis)))
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-5
+
+    def test_point_source_prediction(self, rng):
+        # predict from a delta-model image == the analytic fringe with the
+        # exact w screen (continuous w, no quantization)
+        from ska_sdp_tpu.ops import fft_centered
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        p, w, _ = _problem(rng, b=200)
+        py, px = 150, 170
+        img = np.zeros((N, N), np.complex64)
+        img[py, px] = 1.0
+        tf = np.asarray(taper_fine(N, S, kaiser_taper(S, BETA)))
+        grid = fft_centered(jnp.asarray(img / np.outer(tf, tf)))
+        pred = np.asarray(
+            idg_degrid_wproj((N, N), jnp.asarray(p), jnp.asarray(w),
+                             grid, theta=THETA)
+        )
+        l0 = (px - N // 2) / N
+        m0 = (py - N // 2) / N
+        n0 = 1.0 - np.sqrt(1.0 - (l0 * THETA)**2 - (m0 * THETA)**2)
+        true = (np.exp(-2j * np.pi * (p[:, 0] * N * l0 + p[:, 1] * N * m0))
+                * np.exp(2j * np.pi * w * n0))
+        valid = np.abs(pred) > 1e-3
+        assert valid.sum() == p.shape[0]        # all in-bounds here
+        assert np.abs(pred[valid] - true[valid]).max() < 2e-4
+
+    def test_oob_zeroed(self, rng):
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        p = jnp.asarray([[0.55, 0.1, 0.0], [0.1, 0.1, 0.0]], jnp.float32)
+        G = jnp.ones((N, N), jnp.complex64)
+        v = np.asarray(idg_degrid_wproj(
+            (N, N), p, jnp.zeros(2, jnp.float32), G, theta=THETA
+        ))
+        assert v[0] == 0
+        assert abs(v[1]) > 0
+
+
 class TestIDGPallas:
     def test_matches_xla_idg(self, rng):
         from ska_sdp_tpu.kernels.idg_pallas import idg_gridder_pallas
