@@ -36,7 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
              "model image -> vis)",
     )
     p.add_argument("--subgrid", type=int, default=64,
-                   help="IDG subgrid size (--mode idg)")
+                   help="IDG subgrid size (--mode idg / --idg)")
+    p.add_argument("--idg", action="store_true",
+                   help="use IDG degridding for --mode predict (no wkern "
+                        "file needed; exact continuous-w evaluation)")
     p.add_argument(
         "--backend", choices=["tpu", "cpu"], default=None,
         help="device backend; 'cpu' forces the CPU platform, 'tpu' "
@@ -182,10 +185,16 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
         if not args.model:
             print("error: --mode predict requires --model", file=sys.stderr)
             return 1
-        pred, peak = ds.w_predict(
-            wkern_path, vis_path, args.model, n=cfg.n_vis,
-            outfile=args.output, config=cfg, timer=timer,
-        )
+        if args.idg:
+            pred, peak = ds.idg_predict(
+                vis_path, args.model, n=cfg.n_vis, outfile=args.output,
+                config=cfg, timer=timer, subgrid=args.subgrid,
+            )
+        else:
+            pred, peak = ds.w_predict(
+                wkern_path, vis_path, args.model, n=cfg.n_vis,
+                outfile=args.output, config=cfg, timer=timer,
+            )
         print(f"predicted {pred.shape[0]} visibilities, peak |vis|: {peak}")
         metrics.emit("run/done", peak_vis=peak, phases=timer.times)
         return 0

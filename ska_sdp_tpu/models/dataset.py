@@ -325,6 +325,69 @@ def _predict_pipeline(wkerns, wbins, img, uvw, f, *, theta, lam, chunk):
     return wproj_degridder(wkerns, grid, uvw0 / lam, wbin, chunk=chunk)
 
 
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "subgrid", "taper_beta"))
+def _idg_predict_pipeline(img, uvw, f, *, theta, lam, subgrid, taper_beta):
+    """Model image → IDG degridding (exact continuous-w prediction)."""
+    from ..ops import fft_centered
+    from ..ops.idg import idg_degrid_wproj, kaiser_taper, taper_fine
+
+    uvw0 = uvw_lambda(f, uvw)
+    n = int(round(theta * lam))
+    tf = taper_fine(n, subgrid, kaiser_taper(subgrid, taper_beta))
+    tf2 = (tf[:, None] * tf[None, :]).astype(img.dtype)
+    grid = fft_centered((img / tf2).astype(
+        jnp.complex64 if img.dtype == jnp.float32 else jnp.complex128))
+    return idg_degrid_wproj(
+        (n, n), uvw0 / lam, uvw0[:, 2], grid, theta=theta,
+        subgrid=subgrid, taper_beta=taper_beta,
+    )
+
+
+def idg_predict(
+    datfile: str,
+    modelfile: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    subgrid: int = 32,
+    taper_beta: float = 12.0,
+):
+    """Predict visibilities via IDG degridding — exact continuous
+    (u, v, w) evaluation, no kernel bank needed (cf. :func:`w_predict`).
+    Returns (predicted ndarray, peak |vis|)."""
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/model"):
+        img = np.asarray(h5.read_dataset(modelfile, schema.IMG_DATASET))
+    n_grid = int(round(theta * lam))
+    if img.shape != (n_grid, n_grid):
+        raise ValueError(
+            f"model image {img.shape} does not match grid "
+            f"({n_grid}, {n_grid}) for theta={theta}, lam={lam}"
+        )
+    n = n if n is not None else data.uvw.shape[0]
+    with timer.phase("h2d+compile+fft+degrid"):
+        pred = _idg_predict_pipeline(
+            np.asarray(img, prec.np_real),
+            np.asarray(data.uvw[:n], prec.np_real),
+            np.asarray(data.frequency, prec.np_real),
+            theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
+        )
+        pred = np.asarray(pred)
+    peak = float(np.abs(pred).max()) if pred.size else 0.0
+    if outfile is not None:
+        with timer.phase("write/vis"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, "/vis/model",
+                             pred.astype(np.complex128))
+    return pred, peak
+
+
 def w_predict(
     wfile: str,
     datfile: str,

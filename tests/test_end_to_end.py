@@ -280,6 +280,29 @@ class TestPredict:
         assert pred.ndim == 1 and pred.size > 0
         assert np.isfinite(pred).all() and np.abs(pred).max() > 0
 
+        # IDG predict on the same model: needs no wkern file, should give
+        # a prediction of the same magnitude scale as the bank path
+        out2 = str(tmp_path / "pred_idg.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "predict",
+             "--idg", "-i", d, "--all", "--model", img, "-o", out2,
+             "--backend", "cpu", "--theta", "0.05", "--lam", "1600",
+             "--subgrid", "32"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        pred2 = np.asarray(h5.read_dataset(out2, "/vis/model"))
+        assert pred2.shape == pred.shape
+        assert np.isfinite(pred2).all() and np.abs(pred2).max() > 0
+        # the two degridding realizations predict the same signal up to
+        # the bank's quantization/truncation error, which at this coarse
+        # synthetic bank (qpx=2, nw=4) is large per-vis — assert strong
+        # correlation rather than per-sample agreement
+        corr = abs(np.vdot(pred2, pred)) / (
+            np.linalg.norm(pred2) * np.linalg.norm(pred)
+        )
+        assert corr > 0.8, corr
+
 
 class TestCLIModes:
     def test_wcache_conv_gridder_flags(self, tmp_path):
