@@ -152,7 +152,7 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
     Drop-in for ``convgrid_wproj``'s role: returns the [H, W] uv-grid to
     feed hermitian completion + ``ifft_centered``.  The resulting dirty
     image must be divided by ``taper_fine(N, S, kaiser_taper(S, β))`` per
-    axis (outer product) — see ``models.imaging.idg_imaging``.
+    axis (outer product) — see ``models.dataset._idg_pipeline``.
 
     Args:
       grid_shape: (N, N) static (square).

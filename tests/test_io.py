@@ -89,3 +89,65 @@ class TestFacade:
             h5.read_dataset(p, "/z"), np.arange(6.0).reshape(2, 3)
         )
         assert h5.backend_name() in ("native", "h5py")
+
+
+class TestCheckpointGuards:
+    """ADVICE r1: rejection of an existing checkpoint must warn, and a
+    config-fingerprint mismatch must reject (not silently mix numerics)."""
+
+    def test_fingerprint_mismatch_rejects_with_warning(self, tmp_path, rng,
+                                                       caplog):
+        import logging
+
+        from ska_sdp_tpu.utils import checkpoint as ckpt
+
+        path = str(tmp_path / "ck.h5")
+        g = rng.standard_normal((8, 8))
+        fpr_a = ckpt.fingerprint(0.008, 300000, (4, 2, 2, 15, 15), "f32")
+        fpr_b = ckpt.fingerprint(0.008, 300000, (8, 2, 2, 15, 15), "f32")
+        ckpt.save(path, g, g, 100, 200, fpr=fpr_a)
+        assert ckpt.load(path, 8, 200, fpr=fpr_a) is not None
+        with caplog.at_level(logging.WARNING, "ska_sdp_tpu.checkpoint"):
+            assert ckpt.load(path, 8, 200, fpr=fpr_b) is None
+        assert any("fingerprint" in r.message for r in caplog.records)
+
+    def test_corrupt_checkpoint_warns(self, tmp_path, caplog):
+        import logging
+
+        from ska_sdp_tpu.utils import checkpoint as ckpt
+
+        path = str(tmp_path / "bad.h5")
+        with open(path, "wb") as f:
+            f.write(b"not an hdf5 file")
+        with caplog.at_level(logging.WARNING, "ska_sdp_tpu.checkpoint"):
+            assert ckpt.load(path, 8, 100) is None
+        assert any("restarting from 0" in r.message for r in caplog.records)
+
+    def test_total_mismatch_warns(self, tmp_path, rng, caplog):
+        import logging
+
+        from ska_sdp_tpu.utils import checkpoint as ckpt
+
+        path = str(tmp_path / "ck2.h5")
+        g = rng.standard_normal((4, 4))
+        ckpt.save(path, g, g, 10, 50, fpr=1)
+        with caplog.at_level(logging.WARNING, "ska_sdp_tpu.checkpoint"):
+            assert ckpt.load(path, 4, 60, fpr=1) is None
+        assert any("total" in r.message for r in caplog.records)
+
+
+class TestMetricsSink:
+    def test_records_carry_process_index_and_atomic_lines(self, tmp_path):
+        import json
+
+        from ska_sdp_tpu.utils.metrics import MetricsSink
+
+        path = str(tmp_path / "m.jsonl")
+        sink = MetricsSink(path)
+        sink.emit("a", x=1)
+        sink.emit("b", y=2.5)
+        lines = open(path).read().splitlines()
+        assert len(lines) == 2
+        recs = [json.loads(l) for l in lines]
+        assert all("proc" in r and isinstance(r["proc"], int) for r in recs)
+        assert recs[0]["event"] == "a" and recs[1]["y"] == 2.5
