@@ -116,6 +116,77 @@ def tapered_w_bank(theta: float, w_centers, opts, taper_beta: float,
     return jnp.conj(extract_oversampled(af, opts.qpx, opts.npix_kern))
 
 
+
+def _bin_chunk_records(grid_shape, p, w, subgrid: int, chunk: int,
+                       support: int):
+    """Shared binning/sorting/chunk-padding for the XLA IDG grid/degrid
+    pair: assign each record to its subgrid, sort, pad every subgrid's run
+    to whole chunks, and derive per-padded-slot positions relative to the
+    subgrid center.  Returns
+    (dy, dx, wv [n_pad], chunk_sub [n_chunks_max], ok, src, order, valid,
+    geometry (S, T, PADM, nty, n_sub, n_pad, n_chunks_max))."""
+    N, Nx = grid_shape
+    assert N == Nx, "IDG path assumes a square grid"
+    S, T = subgrid, subgrid // 2
+    s = support
+    assert s <= T + 1, "support exceeds subgrid overlap"
+    PADM = T
+    nty = -(-(N + 2 * PADM) // T) + 1
+    n_sub = nty * nty
+    n = p.shape[0]
+
+    # assignment: anchor = top-left of the support, like the exact path's
+    # y0 (``kernels/wproj_pallas._preprocess``)
+    yc, _ = frac_coord(N, 1, p[:, 1])
+    xc, _ = frac_coord(N, 1, p[:, 0])
+    y0 = yc - s // 2
+    x0 = xc - s // 2
+    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
+    y0p = jnp.where(valid, y0 + PADM, 0)
+    x0p = jnp.where(valid, x0 + PADM, 0)
+    gy = y0p // T
+    gx = x0p // T
+    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
+    order = jnp.argsort(t)
+    t_s = t[order]
+
+    # continuous padded-grid cell positions (exact placement, no rounding)
+    ycf = (N // 2 + p[:, 1] * N + PADM)[order]
+    xcf = (N // 2 + p[:, 0] * N + PADM)[order]
+    w_s = w[order]
+
+    # pad each subgrid's run to whole chunks (records of one chunk all
+    # belong to one subgrid)
+    starts = jnp.searchsorted(t_s, jnp.arange(n_sub + 1)).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    counts_pad = ((counts + chunk - 1) // chunk) * chunk
+    starts_pad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
+    )
+    n_chunks_max = n // chunk + n_sub + 1
+    n_pad = n_chunks_max * chunk
+
+    j = jnp.arange(n_pad, dtype=jnp.int32)
+    starts_pad_j = _spread_i32(starts_pad[:-1], starts_pad[:-1], n_pad)
+    starts_j = _spread_i32(starts[:-1], starts_pad[:-1], n_pad)
+    counts_j = _spread_i32(counts, starts_pad[:-1], n_pad)
+    tile_j = _spread_i32(jnp.arange(n_sub, dtype=jnp.int32),
+                         starts_pad[:-1], n_pad)
+    local = j - starts_pad_j
+    ok = local < counts_j
+    src = jnp.where(ok, starts_j + local, 0)
+
+    gy_j = tile_j // nty
+    gx_j = tile_j - gy_j * nty
+    # position relative to the subgrid's center cell (S/2 inside the block)
+    dy = ycf[src] - (gy_j * T).astype(p.dtype) - (S // 2)
+    dx = xcf[src] - (gx_j * T).astype(p.dtype) - (S // 2)
+    wv = w_s[src]
+    chunk_sub = tile_j[::chunk]                          # [n_chunks_max]
+    geom = (S, T, PADM, nty, n_sub, n_pad, n_chunks_max)
+    return dy, dx, wv, chunk_sub, ok, src, order, valid, geom
+
+
 def _dft_matrix(S: int, dtype):
     """Centered forward DFT matrix: F[y, q] = e^{-2πi (y-S/2)(q-S/2)/S}."""
     k = jnp.arange(S, dtype=jnp.float32) - S // 2
@@ -168,70 +239,14 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
       taper_beta: Kaiser β of the subgrid taper (0 disables — then the
         placement sinc is box-truncated at the subgrid, ~18% RMS).
     """
-    N, Nx = grid_shape
-    assert N == Nx, "IDG path assumes a square grid"
-    S, T = subgrid, subgrid // 2
-    s = support
-    assert s <= T + 1, "support exceeds subgrid overlap"
-    PADM = T
-    nty = -(-(N + 2 * PADM) // T) + 1
-    n_sub = nty * nty
     cdt = vis.dtype
-    n = p.shape[0]
-
-    # ---- assignment: anchor = top-left of the support, like the exact
-    # path's y0 (``kernels/wproj_pallas._preprocess``)
-    yc, _ = frac_coord(N, 1, p[:, 1])
-    xc, _ = frac_coord(N, 1, p[:, 0])
-    y0 = yc - s // 2
-    x0 = xc - s // 2
-    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
-    y0p = jnp.where(valid, y0 + PADM, 0)
-    x0p = jnp.where(valid, x0 + PADM, 0)
-    gy = y0p // T
-    gx = x0p // T
-    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
-
-    order = jnp.argsort(t)
-    t_s = t[order]
-
-    # continuous padded-grid cell positions (exact placement, no rounding)
-    ycf = (N // 2 + p[:, 1] * N + PADM)[order]
-    xcf = (N // 2 + p[:, 0] * N + PADM)[order]
-    w_s = w[order]
-    vis_s = jnp.where(valid, vis, 0)[order]
-
-    # ---- pad each subgrid's run to whole chunks (records of one chunk all
-    # belong to one subgrid)
-    starts = jnp.searchsorted(t_s, jnp.arange(n_sub + 1)).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
-    counts_pad = ((counts + chunk - 1) // chunk) * chunk
-    starts_pad = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
+    dy, dx, wv, chunk_sub, ok, src, order, valid, geom = _bin_chunk_records(
+        grid_shape, p, w, subgrid, chunk, support
     )
-    n_chunks_max = n // chunk + n_sub + 1
-    n_pad = n_chunks_max * chunk
-
-    j = jnp.arange(n_pad, dtype=jnp.int32)
-    starts_pad_j = _spread_i32(starts_pad[:-1], starts_pad[:-1], n_pad)
-    starts_j = _spread_i32(starts[:-1], starts_pad[:-1], n_pad)
-    counts_j = _spread_i32(counts, starts_pad[:-1], n_pad)
-    tile_j = _spread_i32(jnp.arange(n_sub, dtype=jnp.int32),
-                         starts_pad[:-1], n_pad)
-    local = j - starts_pad_j
-    ok = local < counts_j
-    src = jnp.where(ok, starts_j + local, 0)
-    okf = ok.astype(p.dtype)
-
-    gy_j = tile_j // nty
-    gx_j = tile_j - gy_j * nty
-    # position relative to the subgrid's center cell (S/2 inside the block)
-    dy = ycf[src] - (gy_j * T).astype(p.dtype) - (S // 2)
-    dx = xcf[src] - (gx_j * T).astype(p.dtype) - (S // 2)
-    wv = w_s[src]
-    vv = vis_s[src] * okf.astype(cdt)
-
-    chunk_sub = tile_j[::chunk]                          # [n_chunks_max]
+    S, T, PADM, nty, n_sub, n_pad, n_chunks_max = geom
+    N = grid_shape[0]
+    vis_s = jnp.where(valid, vis, 0)[order]
+    vv = vis_s[src] * ok.astype(cdt)
 
     # ---- phase factors.  Subgrid image pixel q sits at image coordinate
     # l_q = (q - S/2)·θ/S (full FOV θ at coarse S-point sampling).  Its
@@ -331,57 +346,14 @@ def idg_degrid_wproj(grid_shape, p, w, grid, *, theta: float,
     Args mirror :func:`idg_grid_wproj`; ``grid`` is the [N, N] uv-grid.
     Returns [n] complex visibilities (OOB records → 0).
     """
-    N, Nx = grid_shape
-    assert N == Nx, "IDG path assumes a square grid"
-    S, T = subgrid, subgrid // 2
-    s = support
-    assert s <= T + 1
-    PADM = T
-    nty = -(-(N + 2 * PADM) // T) + 1
-    n_sub = nty * nty
     cdt = grid.dtype
     n = p.shape[0]
-
     # ---- identical binning/sort to the gridder
-    yc, _ = frac_coord(N, 1, p[:, 1])
-    xc, _ = frac_coord(N, 1, p[:, 0])
-    y0 = yc - s // 2
-    x0 = xc - s // 2
-    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
-    y0p = jnp.where(valid, y0 + PADM, 0)
-    x0p = jnp.where(valid, x0 + PADM, 0)
-    gy = y0p // T
-    gx = x0p // T
-    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
-    order = jnp.argsort(t)
-    t_s = t[order]
-    ycf = (N // 2 + p[:, 1] * N + PADM)[order]
-    xcf = (N // 2 + p[:, 0] * N + PADM)[order]
-    w_s = w[order]
-
-    starts = jnp.searchsorted(t_s, jnp.arange(n_sub + 1)).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
-    counts_pad = ((counts + chunk - 1) // chunk) * chunk
-    starts_pad = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_pad).astype(jnp.int32)]
+    dy, dx, wv, chunk_sub, ok, src, order, valid, geom = _bin_chunk_records(
+        grid_shape, p, w, subgrid, chunk, support
     )
-    n_chunks_max = n // chunk + n_sub + 1
-    n_pad = n_chunks_max * chunk
-    j = jnp.arange(n_pad, dtype=jnp.int32)
-    starts_pad_j = _spread_i32(starts_pad[:-1], starts_pad[:-1], n_pad)
-    starts_j = _spread_i32(starts[:-1], starts_pad[:-1], n_pad)
-    counts_j = _spread_i32(counts, starts_pad[:-1], n_pad)
-    tile_j = _spread_i32(jnp.arange(n_sub, dtype=jnp.int32),
-                         starts_pad[:-1], n_pad)
-    local = j - starts_pad_j
-    ok = local < counts_j
-    src = jnp.where(ok, starts_j + local, 0)
-    gy_j = tile_j // nty
-    gx_j = tile_j - gy_j * nty
-    dy = ycf[src] - (gy_j * T).astype(p.dtype) - (S // 2)
-    dx = xcf[src] - (gx_j * T).astype(p.dtype) - (S // 2)
-    wv = w_s[src]
-    chunk_sub = tile_j[::chunk]
+    S, T, PADM, nty, n_sub, n_pad, n_chunks_max = geom
+    N = grid_shape[0]
 
     # ---- subgrid coarse images: adjoint sandwich a = F'ᴴ · W · conj(F')
     gp = jnp.zeros(((nty + 1) * T, (nty + 1) * T), cdt)
