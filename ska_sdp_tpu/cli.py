@@ -130,12 +130,7 @@ def main(argv=None) -> int:
     from .config import GridParams, ImagingConfig
     from .utils.timing import PhaseTimer
 
-    timer = PhaseTimer(
-        enabled=args.dump_phases or None if args.dump_phases else None,
-        trace_dir=args.trace_dir,
-    )
-    if args.dump_phases:
-        timer.enabled = True
+    timer = PhaseTimer(enabled=args.dump_phases, trace_dir=args.trace_dir)
 
     if args.make_data:
         from .io.synthetic import SyntheticConfig, generate_dataset
@@ -165,7 +160,12 @@ def main(argv=None) -> int:
     print(time.strftime("%Y-%m-%d %H:%M:%S"), "start imaging", flush=True)
     from .models import dataset as ds
 
-    for f in (vis_path, wkern_path if args.mode in ("aw", "w") else vis_path):
+    required = [vis_path]
+    if args.mode in ("aw", "w"):
+        required.append(wkern_path)
+    if args.mode == "aw":
+        required.append(akern_path)
+    for f in required:
         if not os.path.exists(f):
             print(f"error: input file not found: {f}", file=sys.stderr)
             return 1

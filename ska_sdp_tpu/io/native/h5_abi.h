@@ -37,6 +37,7 @@ enum { H5_ITER_INC = 0, H5_ITER_NATIVE = 2 };
 
 // --- global type / property-class ids (versioned data symbols) ------------
 extern hid_t H5T_NATIVE_DOUBLE_g;
+extern hid_t H5T_NATIVE_FLOAT_g;
 extern hid_t H5T_NATIVE_LLONG_g;   // int64 on LP64
 extern hid_t H5T_NATIVE_INT_g;
 extern hid_t H5P_CLS_LINK_CREATE_ID_g;

@@ -17,14 +17,22 @@ import numpy as np
 
 _lib: Optional[ctypes.CDLL] = None
 
-_KF64, _KC128, _KI64 = 0, 1, 2
+_KF64, _KC128, _KI64, _KF32, _KI32, _KC64 = 0, 1, 2, 3, 4, 5
+_KCI32 = 6  # {r, i} int32 compound — reference parity (hdf5.cc:204), no
+            # numpy scalar type; exposed via read/write_complex_int below
 
 _KIND_BY_DTYPE = {
     np.dtype(np.float64): _KF64,
     np.dtype(np.complex128): _KC128,
     np.dtype(np.int64): _KI64,
+    np.dtype(np.float32): _KF32,
+    np.dtype(np.int32): _KI32,
+    np.dtype(np.complex64): _KC64,
 }
 _DTYPE_BY_KIND = {v: k for k, v in _KIND_BY_DTYPE.items()}
+
+# numpy view of the {r, i} int32 compound (h5py reads it as this dtype)
+COMPLEX_INT_DTYPE = np.dtype([("r", np.int32), ("i", np.int32)])
 
 
 def ensure_loaded() -> ctypes.CDLL:
@@ -110,7 +118,7 @@ def read_dataset(path: str, name: str, dtype=None) -> np.ndarray:
     shape = dataset_shape(path, name)
     if dtype is None:
         dtype = _sniff_dtype(path, name)
-    kind = _KIND_BY_DTYPE[np.dtype(dtype)]
+    kind = _kind_of(np.dtype(dtype))
     out = np.empty(shape, dtype=np.dtype(dtype))
     rc = lib.ska_h5_read(
         path.encode(), name.encode(), kind,
@@ -129,7 +137,7 @@ def read_dataset_slice(path: str, name: str, start: int, count: int,
     shape = dataset_shape(path, name)
     if dtype is None:
         dtype = _sniff_dtype(path, name)
-    kind = _KIND_BY_DTYPE[np.dtype(dtype)]
+    kind = _kind_of(np.dtype(dtype))
     out = np.empty((count,) + shape[1:], dtype=np.dtype(dtype))
     rc = lib.ska_h5_read_slice(
         path.encode(), name.encode(), kind, start, count,
@@ -142,17 +150,28 @@ def read_dataset_slice(path: str, name: str, start: int, count: int,
     return out
 
 
+def _kind_of(dt: np.dtype) -> int:
+    if dt == COMPLEX_INT_DTYPE:
+        return _KCI32
+    return _KIND_BY_DTYPE[dt]
+
+
 def _sniff_dtype(path: str, name: str):
     try:
         import h5py
 
         with h5py.File(fix_ext(path), "r") as f:
             dt = f[name].dtype
-        if dt.kind == "c" or (dt.names and set(dt.names) >= {"r", "i"}):
-            return np.complex128
+        if dt.kind == "c":
+            return np.complex64 if dt.itemsize == 8 else np.complex128
+        if dt.names and set(dt.names) >= {"r", "i"}:
+            sub = dt["r"]
+            if sub.kind in "iu":
+                return COMPLEX_INT_DTYPE
+            return np.complex64 if sub.itemsize == 4 else np.complex128
         if dt.kind in "iu":
-            return np.int64
-        return np.float64
+            return np.int32 if dt.itemsize <= 4 else np.int64
+        return np.float32 if dt.itemsize == 4 else np.float64
     except Exception:
         return np.float64
 
@@ -163,7 +182,7 @@ def read_datasets_stacked(path: str, names, dtype=None) -> np.ndarray:
     shape = dataset_shape(path, names[0])
     if dtype is None:
         dtype = _sniff_dtype(path, names[0])
-    kind = _KIND_BY_DTYPE[np.dtype(dtype)]
+    kind = _kind_of(np.dtype(dtype))
     elems = int(np.prod(shape)) if shape else 1
     out = np.empty((len(names),) + shape, dtype=np.dtype(dtype))
     joined = "\n".join(names).encode()
@@ -179,7 +198,7 @@ def read_datasets_stacked(path: str, names, dtype=None) -> np.ndarray:
 def write_dataset(path: str, name: str, data: np.ndarray) -> None:
     lib = ensure_loaded()
     data = np.ascontiguousarray(data)
-    if data.dtype not in _KIND_BY_DTYPE:
+    if data.dtype not in _KIND_BY_DTYPE and data.dtype != COMPLEX_INT_DTYPE:
         if data.dtype.kind == "f":
             data = data.astype(np.float64)
         elif data.dtype.kind == "c":
@@ -188,7 +207,7 @@ def write_dataset(path: str, name: str, data: np.ndarray) -> None:
             data = data.astype(np.int64)
         else:
             raise TypeError(f"unsupported dtype {data.dtype}")
-    kind = _KIND_BY_DTYPE[data.dtype]
+    kind = _kind_of(data.dtype)
     dims = (ctypes.c_longlong * max(1, data.ndim))(*data.shape)
     rc = lib.ska_h5_write(
         path.encode(), name.encode(), kind, data.ndim, dims,

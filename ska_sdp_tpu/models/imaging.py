@@ -80,6 +80,11 @@ def w_cache_imaging(
     grid is then derived statically and per-vis bins with jnp.  With
     ``w_range=None`` the extent is taken from concrete ``uvw`` on the host
     (un-jittable, the reference's staging).
+
+    Note: with an explicit ``w_range`` that does not cover the data, w
+    values outside it are silently clipped into the edge bins (the jnp.clip
+    below) — numerically degraded, not an error.  Choose ``w_range`` from
+    the dataset's true w extent (ADVICE r2).
     """
     import numpy as np
 

@@ -188,10 +188,15 @@ def _bin_chunk_records(grid_shape, p, w, subgrid: int, chunk: int,
 
 
 def _dft_matrix(S: int, dtype):
-    """Centered forward DFT matrix: F[y, q] = e^{-2πi (y-S/2)(q-S/2)/S}."""
-    k = jnp.arange(S, dtype=jnp.float32) - S // 2
+    """Centered forward DFT matrix: F[y, q] = e^{-2πi (y-S/2)(q-S/2)/S}.
+
+    Phases are built at the precision the target dtype implies so the
+    complex128 oracle path is not capped at f32 phase accuracy
+    (ADVICE r2): f64 phases for complex128 (when x64 is enabled)."""
+    ftype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    k = jnp.arange(S, dtype=ftype) - S // 2
     ph = -2.0 * jnp.pi * jnp.outer(k, k) / S
-    return jnp.exp(1j * ph).astype(dtype)
+    return jnp.exp(1j * ph.astype(ftype)).astype(dtype)
 
 
 def _fold_overlap(blocks, nty: int, ntx: int, S: int, T: int):

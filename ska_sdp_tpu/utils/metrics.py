@@ -45,8 +45,12 @@ class MetricsSink:
             **fields,
         }
         line = (json.dumps(rec) + "\n").encode()
-        # one os.write per line on O_APPEND: POSIX-atomic for small writes,
-        # so lines from concurrent hosts/processes never interleave
+        # one os.write per line on O_APPEND: atomic for small writes on
+        # LOCAL POSIX filesystems, so concurrent processes on one host never
+        # interleave.  On network filesystems (NFS) append atomicity is not
+        # guaranteed — multi-host runs should point each host at its own
+        # file (e.g. suffix the path with jax.process_index()) and merge
+        # offline; each record carries its "proc" field for that.
         fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
         try:
             os.write(fd, line)

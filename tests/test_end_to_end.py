@@ -411,3 +411,34 @@ class TestOutOfCore:
                                               config=cfg)
         np.testing.assert_allclose(img1, img0, rtol=1e-10, atol=1e-12)
         assert abs(mx1 - mx0) < 1e-10
+
+
+class TestCLIMissingInputs:
+    def test_aw_mode_precheck_missing_akern(self, tmp_path):
+        """VERDICT r2 #10: --mode aw must fail fast on a missing akern.h5
+        in the CLI existence pre-check, not deep inside ingest."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "3", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        os.remove(os.path.join(d, "akern.h5"))
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "aw",
+             "-i", d, "--all", "--backend", "cpu",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 1
+        assert "input file not found" in r.stderr
+        assert "akern" in r.stderr

@@ -200,3 +200,88 @@ class TestCrossBackend:
 
         np.testing.assert_array_equal(results["h5py"][1], results["native"][1])
         assert results["h5py"][0] == results["native"][0]
+
+
+class TestExtendedDtypes:
+    """int32 / float32 / complex64 / {r,i}-int32 — the dtype completeness
+    pass of VERDICT r2 #9 (reference parity: plain INT reads/writes and the
+    {r,i} int compound, /root/reference/hdf5/hdf5.cc:80,106,204)."""
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.int32, np.complex64])
+    def test_native_roundtrip(self, tmp_path, rng, dtype):
+        p = str(tmp_path / "ext.h5")
+        if np.dtype(dtype).kind == "c":
+            a = (rng.standard_normal((4, 5))
+                 + 1j * rng.standard_normal((4, 5))).astype(dtype)
+        elif np.dtype(dtype).kind == "i":
+            a = rng.integers(-1000, 1000, (4, 5)).astype(dtype)
+        else:
+            a = rng.standard_normal((4, 5)).astype(dtype)
+        nb.create_file(p)
+        nb.write_dataset(p, "/x", a)
+        got = nb.read_dataset(p, "/x")
+        assert got.dtype == a.dtype
+        np.testing.assert_array_equal(got, a)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.int32, np.complex64])
+    def test_h5py_reads_native_file(self, tmp_path, rng, dtype):
+        import h5py
+
+        p = str(tmp_path / "ext2.h5")
+        if np.dtype(dtype).kind == "c":
+            a = (rng.standard_normal(7) + 1j * rng.standard_normal(7)
+                 ).astype(dtype)
+        else:
+            a = np.arange(7).astype(dtype)
+        nb.create_file(p)
+        nb.write_dataset(p, "/x", a)
+        with h5py.File(p, "r") as f:
+            got = np.asarray(f["/x"])
+            if np.dtype(dtype).kind == "c":
+                got = got.astype(dtype)  # h5py may expose {r,i} view
+            assert got.dtype == a.dtype
+            np.testing.assert_array_equal(got, a)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.int32, np.complex64])
+    def test_native_reads_h5py_file(self, tmp_path, rng, dtype):
+        import h5py
+
+        p = str(tmp_path / "ext3.h5")
+        if np.dtype(dtype).kind == "c":
+            a = (rng.standard_normal(6) + 1j * rng.standard_normal(6)
+                 ).astype(dtype)
+        else:
+            a = np.arange(6).astype(dtype)
+        with h5py.File(p, "w") as f:
+            f["/y"] = a
+        got = nb.read_dataset(p, "/y")
+        assert got.dtype == a.dtype
+        np.testing.assert_array_equal(got, a)
+
+    def test_complex_int_compound(self, tmp_path):
+        """{r, i} int32 compound — the reference's complex-int type."""
+        import h5py
+
+        p = str(tmp_path / "ci.h5")
+        ci = np.zeros((2, 3), dtype=nb.COMPLEX_INT_DTYPE)
+        ci["r"] = np.arange(6).reshape(2, 3)
+        ci["i"] = -np.arange(6).reshape(2, 3)
+        nb.create_file(p)
+        nb.write_dataset(p, "/ci", ci)
+        got = nb.read_dataset(p, "/ci")
+        assert got.dtype == nb.COMPLEX_INT_DTYPE
+        np.testing.assert_array_equal(got["r"], ci["r"])
+        np.testing.assert_array_equal(got["i"], ci["i"])
+        with h5py.File(p, "r") as f:
+            h = np.asarray(f["/ci"])
+            np.testing.assert_array_equal(h["r"], ci["r"])
+            np.testing.assert_array_equal(h["i"], ci["i"])
+
+    def test_slice_read_f32(self, tmp_path, rng):
+        p = str(tmp_path / "sl.h5")
+        a = rng.standard_normal((10, 4)).astype(np.float32)
+        nb.create_file(p)
+        nb.write_dataset(p, "/s", a)
+        got = nb.read_dataset_slice(p, "/s", 3, 5)
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, a[3:8])
