@@ -44,21 +44,42 @@ NW, QPX, S = 32, 8, 15
 NANT = 64
 N_VIS = 1 << 20           # per timed step (headline / degrid / full step)
 N_VIS_AW = 1 << 19        # AW fused
-STEPS = 8   # tunnel-noise mitigation: ±10% run-to-run at 5 steps
+STEPS = 5                 # outer reps (median taken — tunnel spikes)
+CHAIN = 8                 # device steps chained per dispatch
 
 
-def _rate(step, args, n, k=STEPS):
-    """Throughput of a jitted step; salted inputs defeat cross-step CSE
-    and any caching in the remote-TPU tunnel (BENCH.md)."""
+def _rate(step, args, n, k=STEPS, chain=CHAIN):
+    """Per-step device throughput of a jitted step.
+
+    Round-3 measurement (BENCH.md): every host dispatch through the
+    remote-TPU tunnel pays a ~27 ms round-trip REGARDLESS of the program —
+    timing single steps mis-charges that latency as kernel time (it
+    inflated every round-1/2 number and invented the round-2 "sort wall").
+    The fix: chain ``chain`` data-dependent steps inside ONE jitted
+    program (each with a distinct salt, so nothing collapses by CSE and
+    the tunnel cannot serve cached results) and divide by the chain
+    length — the same device-throughput convention the published GPU
+    gridder numbers (the 2 Gvis/s bar) use.
+    """
+    import jax
     import jax.numpy as jnp
 
-    chk = float(step(*args, jnp.float32(0.0)))   # compile + warmup
+    @jax.jit
+    def chained(salt0, *args):
+        def body(i, acc):
+            return acc + step(*args, salt0 + 1e-6 * i.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+    chk = float(chained(jnp.float32(0.0), *args))   # compile + warmup
     assert np.isfinite(chk) and chk > 0
-    t0 = time.perf_counter()
+    ts = []
     for i in range(k):
-        chk = float(step(*args, jnp.float32(1e-6 * (i + 1))))
-    dt = (time.perf_counter() - t0) / k
+        t0 = time.perf_counter()
+        chk = float(chained(jnp.float32(1e-3 * (i + 1)), *args))
+        ts.append(time.perf_counter() - t0)
     assert np.isfinite(chk) and chk > 0
+    dt = sorted(ts)[len(ts) // 2] / chain
     return n / dt
 
 
@@ -212,7 +233,9 @@ def main() -> None:
 
         @jax.jit
         def sus_idg_step(recs, starts, salt):
-            recs = recs.at[:, 3:5, :].add(salt)
+            # 1-element salt: defeats caching without paying a strided
+            # sub-128-minor dense update (~5-10 ms of real device time)
+            recs = recs.at[0, 3, 0].add(salt)
             gr, gi = idg_grid_from_records(
                 recs, starts, (n_grid, n_grid), theta=THETA
             )

@@ -53,6 +53,14 @@ def _resolved_impl() -> str:
     return "pallas" if _default_backend() in ("tpu", "axon") else "xla"
 
 
+def _wproj_resident_fits(grid_shape, nwq: int, gh: int, gw: int) -> bool:
+    """Resident-grid kernel gate: padded grid + interleaved bank must fit
+    the VMEM budget (computed from actual padded footprints)."""
+    from .wproj_resident_pallas import resident_fits
+
+    return resident_fits(grid_shape[0], grid_shape[1], nwq, gh, gw)
+
+
 def _wproj_tile_fits(gh: int, gw: int) -> bool:
     """Kernel support must fit the Pallas tile halo (PAD sublanes,
     PADX lane-columns) — otherwise a patch could cross its private tile's
@@ -78,7 +86,23 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384,
         so the per-device scatter carry type-checks.
     """
     gh, gw = bank_conj.shape[-2], bank_conj.shape[-1]
+    nwq = bank_conj.shape[0] * bank_conj.shape[1] * bank_conj.shape[2]
     if _resolved_impl() == "pallas":
+        # resident-grid kernel (round 3): whole grid in VMEM, no binning —
+        # ~20% faster than the tiled kernel AND drops the record sort.
+        # SKA_SDP_TPU_WPROJ_KERNEL=tiled forces the tiled fallback (debug).
+        try:
+            res_fits = (
+                os.environ.get("SKA_SDP_TPU_WPROJ_KERNEL", "auto") != "tiled"
+                and _wproj_resident_fits(grid_shape, nwq, gh, gw)
+            )
+        except ImportError:
+            res_fits = False
+        if res_fits:
+            from .wproj_resident_pallas import wproj_gridder_resident
+
+            out = wproj_gridder_resident(bank_conj, grid_shape, p, wbin, vis)
+            return out if init is None else init + out
         try:
             fits = _wproj_tile_fits(gh, gw)
         except ImportError:
@@ -103,7 +127,22 @@ def wproj_degridder(bank, grid, p, wbin, chunk: int = 16384):
     from ..ops.gridding import degrid_wproj
 
     gh, gw = bank.shape[-2], bank.shape[-1]
+    nwq = bank.shape[0] * bank.shape[1] * bank.shape[2]
     if _resolved_impl() == "pallas":
+        try:
+            res_fits = (
+                os.environ.get("SKA_SDP_TPU_WPROJ_KERNEL", "auto") != "tiled"
+                and 2 * gw <= 128
+                and _wproj_resident_fits(grid.shape, nwq, gh, gw)
+            )
+        except ImportError:
+            res_fits = False
+        if res_fits:
+            from .wproj_degrid_resident_pallas import (
+                wproj_degridder_resident,
+            )
+
+            return wproj_degridder_resident(bank, grid, p, wbin)
         try:
             fits = _wproj_tile_fits(gh, gw)
         except ImportError:
@@ -182,6 +221,22 @@ def aw_gridder(wkerns, akerns, guv, p, wbin, a1, a2, vis,
             tile_fits = False
         if tile_fits:
             nant = akerns.shape[0]
+            try:
+                from .aw_fused_resident_pallas import (aw_resident_fits,
+                                                       convgrid_aw_resident)
+
+                aw_res = (
+                    os.environ.get("SKA_SDP_TPU_WPROJ_KERNEL", "auto")
+                    != "tiled"
+                    and aw_resident_fits(guv.shape[0], guv.shape[1], nant,
+                                         wkerns.shape[0], wkerns.shape[1], s)
+                )
+            except ImportError:
+                aw_res = False
+            if aw_res:
+                return convgrid_aw_resident(
+                    wkerns, akerns, guv, p, wbin, a1, a2, vis
+                )
             if _aw_fused_fits(nant, wkerns.shape[0], wkerns.shape[1], s):
                 from .aw_fused_pallas import convgrid_aw_fused
 

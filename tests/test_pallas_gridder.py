@@ -464,3 +464,276 @@ class TestFusedAW:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
         )
+
+
+class TestResidentParity:
+    """Resident-grid kernel (round 3, no binning) vs the XLA oracle path —
+    interpret mode, same strategy as TestPallasParity."""
+
+    @pytest.mark.parametrize("n_grid,b", [(300, 500), (512, 300)])
+    def test_matches_xla_gridder(self, rng, n_grid, b):
+        from ska_sdp_tpu.kernels.wproj_resident_pallas import (
+            wproj_gridder_resident,
+        )
+
+        nw, qpx, s = 4, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+
+        got = wproj_gridder_resident(
+            bank, (n_grid, n_grid), p, wbin, vis, interpret=True
+        )
+        want = ops.convgrid_wproj(
+            bank, jnp.zeros((n_grid, n_grid), jnp.complex64), p, wbin, vis,
+            chunk=128,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_oob_patches_dropped(self, rng):
+        from ska_sdp_tpu.kernels.wproj_resident_pallas import (
+            wproj_gridder_resident,
+        )
+
+        n_grid, b = 256, 64
+        nw, qpx, s = 2, 2, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p_edge = rng.uniform(0.47, 0.60, size=(b, 3))
+        p_edge[::2] *= -1
+        p = jnp.asarray(p_edge.astype(np.float32))
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+
+        got = wproj_gridder_resident(
+            bank, (n_grid, n_grid), p, wbin, vis, interpret=True
+        )
+        want = ops.convgrid_wproj(
+            bank, jnp.zeros((n_grid, n_grid), jnp.complex64), p, wbin, vis,
+            chunk=16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    @pytest.mark.parametrize("H,W", [(301, 301), (255, 383), (211, 640)])
+    def test_odd_and_nonsquare_grids(self, rng, H, W):
+        from ska_sdp_tpu.kernels.wproj_resident_pallas import (
+            wproj_gridder_resident,
+        )
+
+        nw, qpx, s = 2, 4, 15
+        b = 300
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+
+        got = wproj_gridder_resident(bank, (H, W), p, wbin, vis,
+                                     interpret=True)
+        want = ops.convgrid_wproj(
+            bank, jnp.zeros((H, W), jnp.complex64), p, wbin, vis, chunk=128
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_record_reuse_across_channels(self, rng):
+        """Multi-channel runs swap only the vis rows of the packed record
+        stream — the resident path needs no re-binning at all."""
+        from ska_sdp_tpu.kernels.wproj_resident_pallas import (
+            wproj_resident_from_records,
+            wproj_resident_records,
+        )
+
+        n_grid, b = 256, 200
+        nw, qpx, s = 2, 4, 9
+        bank = _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        bank_re = jnp.asarray(bank.real)
+        bank_im = jnp.asarray(bank.imag)
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        v1 = _rand_cplx(rng, b).astype(np.complex64)
+        v2 = _rand_cplx(rng, b).astype(np.complex64)
+
+        recs = wproj_resident_records(
+            (n_grid, n_grid), qpx, s, s, p, wbin,
+            jnp.asarray(v1.real), jnp.asarray(v1.imag),
+        )
+        # channel 2: swap only the vis rows
+        recs2 = wproj_resident_records(
+            (n_grid, n_grid), qpx, s, s, p, wbin,
+            jnp.asarray(v2.real), jnp.asarray(v2.imag),
+        )
+        recs_swapped = recs.at[:, 3:5, :].set(recs2[:, 3:5, :])
+        g2a = wproj_resident_from_records(
+            bank_re, bank_im, (n_grid, n_grid), recs_swapped, interpret=True
+        )
+        g2b = wproj_resident_from_records(
+            bank_re, bank_im, (n_grid, n_grid), recs2, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(g2a[0]), np.asarray(g2b[0]))
+        np.testing.assert_array_equal(np.asarray(g2a[1]), np.asarray(g2b[1]))
+
+
+class TestResidentDegrid:
+    """Resident-grid degridder (round 3, input order, no sort/unsort) vs
+    the XLA adjoint gather — interpret mode."""
+
+    @pytest.mark.parametrize("n_grid,b", [(300, 500), (512, 300)])
+    def test_matches_xla_degrid(self, rng, n_grid, b):
+        from ska_sdp_tpu.kernels.wproj_degrid_resident_pallas import (
+            wproj_degridder_resident,
+        )
+
+        nw, qpx, s = 4, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        grid = jnp.asarray(
+            _rand_cplx(rng, (n_grid, n_grid)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+
+        got = wproj_degridder_resident(bank, grid, p, wbin, interpret=True)
+        want = ops.degrid_wproj(bank, grid, p, wbin, chunk=128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_oob_and_invalid_records(self, rng):
+        from ska_sdp_tpu.kernels.wproj_degrid_resident_pallas import (
+            wproj_degridder_resident,
+        )
+
+        n_grid, b = 256, 64
+        nw, qpx, s = 2, 2, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        grid = jnp.asarray(
+            _rand_cplx(rng, (n_grid, n_grid)).astype(np.complex64)
+        )
+        p_edge = rng.uniform(0.47, 0.60, size=(b, 3))
+        p_edge[::2] *= -1
+        p = jnp.asarray(p_edge.astype(np.float32))
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+
+        got = wproj_degridder_resident(bank, grid, p, wbin, interpret=True)
+        want = ops.degrid_wproj(bank, grid, p, wbin, chunk=16)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_nonsquare_grid(self, rng):
+        from ska_sdp_tpu.kernels.wproj_degrid_resident_pallas import (
+            wproj_degridder_resident,
+        )
+
+        H, W, b = 255, 383, 300
+        nw, qpx, s = 2, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        grid = jnp.asarray(_rand_cplx(rng, (H, W)).astype(np.complex64))
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+
+        got = wproj_degridder_resident(bank, grid, p, wbin, interpret=True)
+        want = ops.degrid_wproj(bank, grid, p, wbin, chunk=128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+        )
+
+    def test_grid_degrid_adjoint_resident_pair(self, rng):
+        # <G, scatter(v)> == <degrid(G), v> through the RESIDENT pair
+        from ska_sdp_tpu.kernels.wproj_degrid_resident_pallas import (
+            wproj_degridder_resident,
+        )
+        from ska_sdp_tpu.kernels.wproj_resident_pallas import (
+            wproj_gridder_resident,
+        )
+
+        n_grid, b = 300, 200
+        nw, qpx, s = 2, 4, 15
+        bank = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        p = jnp.asarray(
+            rng.uniform(-0.45, 0.45, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        v = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+        G = jnp.asarray(_rand_cplx(rng, (n_grid, n_grid)).astype(np.complex64))
+
+        Av = wproj_gridder_resident(
+            bank, (n_grid, n_grid), p, wbin, v, interpret=True
+        )
+        AtG = wproj_degridder_resident(bank, G, p, wbin, interpret=True)
+        lhs = complex(jnp.vdot(G, Av))
+        rhs = complex(jnp.vdot(AtG, v))
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-4, (lhs, rhs)
+
+
+class TestResidentAW:
+    """Resident-grid fused AW kernel (round 3, input order) vs XLA."""
+
+    @pytest.mark.parametrize("s,qpx,nant,nw", [(15, 4, 6, 3), (7, 2, 4, 2)])
+    def test_matches_xla_convgrid_aw(self, rng, s, qpx, nant, nw):
+        from ska_sdp_tpu.kernels.aw_fused_resident_pallas import (
+            convgrid_aw_resident,
+        )
+
+        H = W = 320
+        b = 700
+        wk = jnp.asarray(
+            _rand_cplx(rng, (nw, qpx, qpx, s, s)).astype(np.complex64)
+        )
+        ak = jnp.asarray(_rand_cplx(rng, (nant, s, s)).astype(np.complex64))
+        p = jnp.asarray(
+            rng.uniform(-0.49, 0.49, size=(b, 3)).astype(np.float32)
+        )
+        wbin = jnp.asarray(rng.integers(0, nw, size=b), jnp.int32)
+        a1 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        a2 = jnp.asarray(rng.integers(0, nant, size=b), jnp.int32)
+        vis = jnp.asarray(_rand_cplx(rng, b).astype(np.complex64))
+        guv = jnp.zeros((H, W), jnp.complex64)
+
+        got = convgrid_aw_resident(
+            wk, ak, guv, p, wbin, a1, a2, vis, interpret=True
+        )
+        want = ops.convgrid_aw(wk, ak, guv, p, wbin, a1, a2, vis, chunk=128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3
+        )
+
+    def test_vmem_gate(self):
+        from ska_sdp_tpu.kernels.aw_fused_resident_pallas import (
+            aw_resident_fits,
+        )
+
+        # SKA1_Low bench scale fits; a 4800² grid with the same tables
+        # cannot (grid alone ~200 MB)
+        assert aw_resident_fits(2400, 2400, 64, 32, 8, 15)
+        assert not aw_resident_fits(4800, 4800, 64, 32, 8, 15)
+        # nant=128 tables blow the budget even on a small grid
+        assert not aw_resident_fits(1200, 1200, 128, 32, 8, 15)
