@@ -142,6 +142,20 @@ def main() -> None:
     args = (bank_re, bank_im, uvw, vis_re, vis_im)
     wproj_rate = _rate(grid_step, args, N_VIS)
 
+    def _best_effort(name, fn, *a, **kw):
+        """Extra metrics never take the headline down with them: a
+        Mosaic/compile regression in one kernel reports 0 for that metric
+        instead of killing the whole bench run."""
+        import sys as _sys
+        import traceback as _tb
+
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            print(f"bench metric {name!r} failed:", file=_sys.stderr)
+            _tb.print_exc(limit=3, file=_sys.stderr)
+            return 0.0
+
     # 2. degridding (adjoint gather, grid → vis)
     g_re = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
     g_im = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
@@ -154,8 +168,9 @@ def main() -> None:
         v = wproj_degridder(bank_c, grid_c, uvw1 / LAM, wbin)
         return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
 
-    degrid_rate = _rate(
-        degrid_step, (bank_re, bank_im, g_re, g_im, uvw), N_VIS, k=3
+    degrid_rate = _best_effort(
+        "degrid", _rate, degrid_step,
+        (bank_re, bank_im, g_re, g_im, uvw), N_VIS, k=3,
     )
 
     # 3. fused AW-projection (on-the-fly A1⊛A2⊛W)
@@ -175,8 +190,8 @@ def main() -> None:
                        uvw1 / LAM, wbin, a1, a2, vis1)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
-    aw_rate = _rate(
-        aw_step,
+    aw_rate = _best_effort(
+        "aw", _rate, aw_step,
         (bank_re, bank_im, ak_re, ak_im, uvw[:N_VIS_AW], a1, a2,
          vis_re[:N_VIS_AW], vis_im[:N_VIS_AW]),
         N_VIS_AW, k=3,
@@ -194,7 +209,66 @@ def main() -> None:
                         theta=THETA)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
-    idg_rate = _rate(idg_step, (uvw, vis_re, vis_im), N_VIS, k=3)
+    idg_rate = _best_effort(
+        "idg", _rate, idg_step, (uvw, vis_re, vis_im), N_VIS, k=3)
+
+    # 3c. IDG degridding / predict (exact continuous-w adjoint)
+    from ska_sdp_tpu.kernels import idg_degridder
+
+    @jax.jit
+    def idg_degrid_step(g_re, g_im, uvw_l, salt):
+        grid_c = jax.lax.complex(g_re + salt, g_im)
+        uvw1, _, _ = _prep(uvw_l, jnp.zeros(uvw_l.shape[0], jnp.complex64))
+        v = idg_degridder((n_grid, n_grid), uvw1 / LAM, uvw1[:, 2], grid_c,
+                          theta=THETA)
+        return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
+
+    idg_degrid_rate = _best_effort(
+        "idg_degrid", _rate, idg_degrid_step, (g_re, g_im, uvw), N_VIS, k=3)
+
+    # 3d. IDG accuracy vs an independent direct-DFT truth (small problem;
+    # the number the 'exact continuous-w placement' claim rests on)
+    def _idg_accuracy():
+        from ska_sdp_tpu.kernels import idg_gridder as _idg
+        from ska_sdp_tpu.ops import ifft_centered as _ifft
+        from ska_sdp_tpu.ops.idg import kaiser_taper, taper_fine
+
+        Na, Sa, th = 256, 64, 0.05
+        rng2 = np.random.default_rng(7)
+        b = 300
+        pa = rng2.uniform(-0.42, 0.42, (b, 3)).astype(np.float32)
+        wa = rng2.uniform(-250, 250, b).astype(np.float32)
+        va = (rng2.standard_normal(b)
+              + 1j * rng2.standard_normal(b)).astype(np.complex64)
+
+        @jax.jit
+        def acc_step(p_j, w_j, vr, vi):
+            g = _idg((Na, Na), p_j, w_j, jax.lax.complex(vr, vi), theta=th)
+            c = _ifft(g)
+            tf = taper_fine(Na, Sa, kaiser_taper(Sa, 12.0)).astype(jnp.float32)
+            t2 = tf[:, None] * tf[None, :]
+            return jnp.real(c) / t2, jnp.imag(c) / t2
+
+        ire, iim = acc_step(
+            jnp.asarray(pa), jnp.asarray(wa),
+            jnp.asarray(va.real), jnp.asarray(va.imag))
+        img = np.asarray(ire) + 1j * np.asarray(iim)
+        # numpy direct-DFT truth
+        xf = (np.arange(Na) - Na // 2) / Na
+        l = xf * th
+        L, M = np.meshgrid(l, l, indexing="xy")
+        n_lm = 1.0 - np.sqrt(1.0 - L**2 - M**2)
+        ref = np.zeros((Na, Na), np.complex128)
+        for i in range(b):
+            ey = np.exp(2j * np.pi * pa[i, 1] * Na * xf)
+            ex = np.exp(2j * np.pi * pa[i, 0] * Na * xf)
+            ref += va[i] * np.outer(ey, ex) * np.exp(-2j * np.pi * wa[i] * n_lm)
+        ref = ref / (Na * Na)
+        c = Na // 8                                  # central 75% (documented
+        d = np.linalg.norm((img - ref)[c:-c, c:-c])  # usable-FOV region)
+        return float(d / np.linalg.norm(ref[c:-c, c:-c]))
+
+    idg_acc = _best_effort("idg_accuracy", _idg_accuracy)
 
     # 4. full imaging step: scatter + hermitian + centered iFFT
     @jax.jit
@@ -206,7 +280,7 @@ def main() -> None:
         img = jnp.real(ifft_centered(make_grid_hermitian(g)))
         return jnp.sum(jnp.abs(img))
 
-    full_rate = _rate(full_step, args, N_VIS, k=3)
+    full_rate = _best_effort("full", _rate, full_step, args, N_VIS, k=3)
 
     # 5. sustained rates with binning amortized: real pipelines grid many
     # channels per uvw binning (the record sort is ~30 ms/Mvis, a pure
@@ -275,6 +349,16 @@ def main() -> None:
                         "metric": "image-domain gridding (MXU subgrid matmuls, exact continuous-w placement)",
                         "value": round(idg_rate, 1),
                         "unit": "vis/s",
+                    },
+                    {
+                        "metric": "IDG degridding / predict (exact continuous-w adjoint)",
+                        "value": round(idg_degrid_rate, 1),
+                        "unit": "vis/s",
+                    },
+                    {
+                        "metric": "IDG accuracy vs direct-DFT truth (rel err, central 75% FOV; see idg_fov_pad_plan for the full-FOV option)",
+                        "value": round(idg_acc, 7),
+                        "unit": "rel_err",
                     },
                 ] + ([
                     {

@@ -31,7 +31,8 @@ import numpy as np
 ICI_BW = 9.0e10      # B/s bidirectional per chip, v5e 2-D torus (1600 Gbps)
 DCN_BW = 2.5e10      # B/s per host NIC (200 Gbps class)
 CHIPS_PER_HOST = 4   # v5e-4 host
-WPROJ_RATE = 8.4e6   # vis/s/chip measured on the real chip (BENCH.md)
+WPROJ_RATE = 30.3e6  # vis/s/chip measured on the real chip (BENCH.md r3,
+                     # resident-grid kernel, chained-dispatch timing)
 
 _DT_BYTES = {"f32": 4, "f64": 8, "c64": 8, "c128": 16, "s32": 4, "u32": 4,
              "pred": 1, "bf16": 2}
@@ -171,14 +172,19 @@ def main() -> None:
             )
             if name == "gridscatter":
                 t_dcn /= 2  # reduce-scatter, not all-reduce, across hosts
-            t_comp = n_vis_per_dev / WPROJ_RATE
-            eff = t_comp / (t_comp + t_ici + t_dcn)
-            print(
-                f"{name:12s} hosts={n_hosts} chips={chips:2d}: "
-                f"comp {t_comp*1e3:6.1f} ms  ici {t_ici*1e3:5.1f} ms  "
-                f"dcn {t_dcn*1e3:5.1f} ms  -> efficiency {eff:5.1%} "
-                f"({n_vis_per_dev} vis/chip/step)"
-            )
+            # per-step comm is slab-size independent (one grid reduce per
+            # step), so efficiency is a function of the slab: sweep it —
+            # at the r3 per-chip rate the old 131K slab no longer amortizes
+            # the collectives, 1M+ does (VERDICT r2 #7)
+            for slab in (1 << 17, 1 << 20, 1 << 22):
+                t_comp = slab / WPROJ_RATE
+                eff = t_comp / (t_comp + t_ici + t_dcn)
+                print(
+                    f"{name:12s} hosts={n_hosts} chips={chips:2d}: "
+                    f"comp {t_comp*1e3:6.1f} ms  ici {t_ici*1e3:5.1f} ms  "
+                    f"dcn {t_dcn*1e3:5.1f} ms  -> efficiency {eff:5.1%} "
+                    f"({slab} vis/chip/step)"
+                )
     print(
         "\nNOTE: modeled, not measured — one real chip in this environment. "
         "Wire volumes above ARE measured (from the optimized HLO); only the "

@@ -1,8 +1,17 @@
-"""TPU smoke test: parity + throughput of all three Pallas kernels on
-real hardware, against the XLA reference paths, at the SKA1_Low scale.
+"""TPU smoke test: on-chip parity + throughput of the round-3 kernels
+against the XLA reference paths at the SKA1_Low scale.
+
+Round-3 kernel set: resident-grid w-proj scatter / degrid / fused AW
+(whole uv-grid in VMEM, records in input order — no binning) and the IDG
+grid/degrid pair.  Timing uses the chained-dispatch convention of
+bench.py: every host dispatch through the remote-TPU tunnel costs ~27 ms
+regardless of the program, so K data-dependent salted steps run per
+dispatch and the per-step device time is reported.
 
 Run: PYTHONPATH=. python scripts/tpu_smoke.py   (on the TPU machine)
-Prints one PASS/FAIL line per kernel plus the measured rates.
+Healthy round-3 signals (v5e): wproj ~30M, degrid ~17M, AW ~9M, IDG ~32M,
+IDG degrid ~15M vis/s; parity ≤ 2e-4 everywhere (AW ≤ 5e-3 — documented
+single-pass bf16 matmuls; SKA_SDP_TPU_AW_EXACT=1 for exact f32).
 """
 
 from __future__ import annotations
@@ -13,26 +22,50 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+CHAIN = 6
 
-def _time(step, args, n, k=5):
-    chk = float(step(*args, jnp.float32(0.0)))
+
+def _time(step, args, n, k=3, chain=CHAIN):
+    """Per-step device throughput: chain salted steps per dispatch."""
+
+    @jax.jit
+    def chained(salt0, *args):
+        def body(i, acc):
+            return acc + step(*args, salt0 + 1e-6 * i.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, chain, body, jnp.float32(0.0))
+
+    chk = float(chained(jnp.float32(0.0), *args))
     assert np.isfinite(chk), chk
-    t0 = time.perf_counter()
+    ts = []
     for i in range(k):
-        chk = float(step(*args, jnp.float32(1e-6 * (i + 1))))
-    return n / ((time.perf_counter() - t0) / k)
+        t0 = time.perf_counter()
+        chk = float(chained(jnp.float32(1e-3 * (i + 1)), *args))
+        ts.append(time.perf_counter() - t0)
+    assert np.isfinite(chk), chk
+    return n / (sorted(ts)[len(ts) // 2] / chain)
 
 
 def main() -> int:
-    from ska_sdp_tpu.kernels.aw_fused_pallas import convgrid_aw_fused
-    from ska_sdp_tpu.kernels.wproj_degrid_pallas import wproj_degrid_planes
-    from ska_sdp_tpu.kernels.wproj_pallas import wproj_scatter_planes
+    from ska_sdp_tpu.kernels.aw_fused_resident_pallas import (
+        convgrid_aw_resident,
+    )
+    from ska_sdp_tpu.kernels.idg_degrid_pallas import idg_degrid_wproj_pallas
+    from ska_sdp_tpu.kernels.idg_pallas import idg_grid_wproj_pallas
+    from ska_sdp_tpu.kernels.wproj_degrid_resident_pallas import (
+        wproj_degrid_resident_planes,
+    )
+    from ska_sdp_tpu.kernels.wproj_resident_pallas import (
+        wproj_scatter_resident,
+    )
     from ska_sdp_tpu.ops.gridding import convgrid_wproj, degrid_wproj
+    from ska_sdp_tpu.ops.idg import idg_degrid_wproj, idg_grid_wproj
 
     rng = np.random.default_rng(0)
     NW, QPX, S, NANT = 32, 8, 15, 64
     NG = 2400
     N = 1 << 20
+    THETA = 0.008
     ok = True
 
     bank_re = jnp.asarray(
@@ -50,48 +83,75 @@ def main() -> int:
     wbs = jnp.asarray(rng.integers(0, NW, ns).astype(np.int32))
     vrs = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
     vis_ = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
+    wvs = jnp.asarray(rng.uniform(-3800, 3800, ns).astype(np.float32))
 
     @jax.jit
     def parity(br, bi, p, wb, vr, vi):
         bank = jax.lax.complex(br, bi)
         vis = jax.lax.complex(vr, vi)
-        gr, gi = wproj_scatter_planes(br, bi, (hs, hs), p, wb, vr, vi)
+        gr, gi = wproj_scatter_resident(br, bi, (hs, hs), p, wb, vr, vi)
         want = convgrid_wproj(bank, jnp.zeros((hs, hs), jnp.complex64),
                               p, wb, vis, chunk=1024)
         err_g = jnp.max(jnp.abs(jax.lax.complex(gr, gi) - want))
-        pv_r, pv_i = wproj_degrid_planes(br, bi, jnp.real(want),
-                                         jnp.imag(want), p, wb)
+        pv_r, pv_i = wproj_degrid_resident_planes(
+            br, bi, jnp.real(want), jnp.imag(want), p, wb)
         want_d = degrid_wproj(bank, want, p, wb, chunk=1024)
         err_d = jnp.max(jnp.abs(jax.lax.complex(pv_r, pv_i) - want_d))
         scale = jnp.max(jnp.abs(want)) + 1e-30
         return err_g / scale, err_d / (jnp.max(jnp.abs(want_d)) + 1e-30)
 
     eg, ed = parity(bank_re, bank_im, ps, wbs, vrs, vis_)
-    for name, e in [("wproj grid parity", float(eg)),
-                    ("degrid parity", float(ed))]:
+    for name, e in [("resident wproj parity", float(eg)),
+                    ("resident degrid parity", float(ed))]:
         good = e < 2e-4
         ok &= good
-        print(f"{'PASS' if good else 'FAIL'} {name}: rel err {e:.2e}")
+        print(f"{'PASS' if good else 'FAIL'} {name}: rel err {e:.2e}",
+              flush=True)
 
-    # --- throughput at bench scale ---
+    @jax.jit
+    def parity_idg(p, w, vr, vi):
+        gr, gi = idg_grid_wproj_pallas((hs, hs), p, w, vr, vi,
+                                       theta=THETA, subgrid=32)
+        want = idg_grid_wproj((hs, hs), p, w, jax.lax.complex(vr, vi),
+                              theta=THETA, subgrid=32)
+        e1 = jnp.max(jnp.abs(jax.lax.complex(gr, gi) - want)) / (
+            jnp.max(jnp.abs(want)) + 1e-30)
+        got_d = idg_degrid_wproj_pallas((hs, hs), p, w, want,
+                                        theta=THETA, subgrid=32)
+        want_d = idg_degrid_wproj((hs, hs), p, w, want,
+                                  theta=THETA, subgrid=32)
+        e2 = jnp.max(jnp.abs(got_d - want_d)) / (
+            jnp.max(jnp.abs(want_d)) + 1e-30)
+        return e1, e2
+
+    ei, eid = parity_idg(ps, wvs, vrs, vis_)
+    for name, e in [("IDG grid parity", float(ei)),
+                    ("IDG degrid parity", float(eid))]:
+        good = e < 2e-4
+        ok &= good
+        print(f"{'PASS' if good else 'FAIL'} {name}: rel err {e:.2e}",
+              flush=True)
+
+    # --- throughput at bench scale (chained dispatch) ---
     @jax.jit
     def sg(br, bi, p, wb, vr, vi, salt):
-        gr, gi = wproj_scatter_planes(br, bi, (NG, NG), p, wb, vr, vi + salt)
+        gr, gi = wproj_scatter_resident(br, bi, (NG, NG), p, wb,
+                                        vr, vi + salt)
         return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
 
     rate = _time(sg, (bank_re, bank_im, p, wbin, vr, vi), N)
-    print(f"wproj gridding: {rate/1e6:.2f} M vis/s")
+    print(f"wproj gridding (resident): {rate/1e6:.2f} M vis/s", flush=True)
 
     gre = jnp.asarray(rng.standard_normal((NG, NG)).astype(np.float32))
     gim = jnp.asarray(rng.standard_normal((NG, NG)).astype(np.float32))
 
     @jax.jit
     def sd(br, bi, gre, gim, p, wb, salt):
-        dr, di = wproj_degrid_planes(br, bi, gre + salt, gim, p, wb)
+        dr, di = wproj_degrid_resident_planes(br, bi, gre + salt, gim, p, wb)
         return jnp.sum(jnp.abs(dr)) + jnp.sum(jnp.abs(di))
 
     rate = _time(sd, (bank_re, bank_im, gre, gim, p, wbin), N)
-    print(f"degridding:     {rate/1e6:.2f} M vis/s")
+    print(f"degridding (resident):     {rate/1e6:.2f} M vis/s", flush=True)
 
     Na = 1 << 19
     akr = jnp.asarray(rng.standard_normal((NANT, S, S)).astype(np.float32))
@@ -104,38 +164,17 @@ def main() -> int:
         wk = jax.lax.complex(br, bi)
         ak = jax.lax.complex(ar, ai)
         vis = jax.lax.complex(vr, vi + salt)
-        g = convgrid_aw_fused(wk, ak, jnp.zeros((NG, NG), jnp.complex64),
-                              p, wb, a1, a2, vis)
+        g = convgrid_aw_resident(wk, ak, jnp.zeros((NG, NG), jnp.complex64),
+                                 p, wb, a1, a2, vis)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
     rate = _time(
         sa,
         (bank_re, bank_im, akr, aki, p[:Na], wbin[:Na], a1, a2,
          vr[:Na], vi[:Na]),
-        Na, k=3,
+        Na,
     )
-    print(f"AW fused:       {rate/1e6:.2f} M vis/s")
-
-    # --- image-domain gridding: on-chip parity vs the XLA IDG path + rate
-    from ska_sdp_tpu.kernels.idg_pallas import idg_grid_wproj_pallas
-    from ska_sdp_tpu.ops.idg import idg_grid_wproj
-
-    THETA = 0.008
-    wvs = jnp.asarray(rng.uniform(-3800, 3800, ns).astype(np.float32))
-
-    @jax.jit
-    def parity_idg(p, w, vr, vi):
-        gr, gi = idg_grid_wproj_pallas((hs, hs), p, w, vr, vi,
-                                       theta=THETA, subgrid=32)
-        want = idg_grid_wproj((hs, hs), p, w, jax.lax.complex(vr, vi),
-                              theta=THETA, subgrid=32)
-        diff = jax.lax.complex(gr, gi) - want
-        return jnp.max(jnp.abs(diff)) / (jnp.max(jnp.abs(want)) + 1e-30)
-
-    ei = float(parity_idg(ps, wvs, vrs, vis_))
-    good = ei < 2e-4
-    ok &= good
-    print(f"{'PASS' if good else 'FAIL'} IDG parity: rel err {ei:.2e}")
+    print(f"AW fused (resident):       {rate/1e6:.2f} M vis/s", flush=True)
 
     wvb = jnp.asarray(rng.uniform(-3800, 3800, N).astype(np.float32))
 
@@ -145,8 +184,19 @@ def main() -> int:
                                        theta=THETA, subgrid=64)
         return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
 
-    rate = _time(si, (p, wvb, vr, vi), N, k=3)
-    print(f"IDG:            {rate/1e6:.2f} M vis/s")
+    rate = _time(si, (p, wvb, vr, vi), N)
+    print(f"IDG:                       {rate/1e6:.2f} M vis/s", flush=True)
+
+    @jax.jit
+    def sid(gre, gim, p, w, salt):
+        v = idg_degrid_wproj_pallas(
+            (NG, NG), p, w, jax.lax.complex(gre + salt, gim),
+            theta=THETA, subgrid=64)
+        return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
+
+    rate = _time(sid, (gre, gim, p, wvb), N)
+    print(f"IDG degrid:                {rate/1e6:.2f} M vis/s", flush=True)
+
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--subgrid", type=int, default=64,
                    help="IDG subgrid size (--mode idg / --idg)")
+    p.add_argument("--fov-pad", type=float, default=None,
+                   help="IDG full-FOV guarantee: grid FOV/f and crop "
+                        "(e.g. 0.75 bounds full-image error at ~1e-3; "
+                        "default: plain FOV, accurate inside ~75%% radius)")
     p.add_argument("--idg", action="store_true",
                    help="use IDG degridding for --mode predict (no wkern "
                         "file needed; exact continuous-w evaluation)")
@@ -61,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-dphases", "--dump-phases", action="store_true",
         help="print per-phase wall-clock timings",
+    )
+    p.add_argument(
+        "--device-phases", action="store_true",
+        help="run the pipeline as separately-synchronized stages and "
+             "print per-stage DEVICE times (preprocess/scatter/FFT "
+             "shares; --mode w and idg) — the reference's dump_phases "
+             "analog; implies -dphases",
     )
     p.add_argument(
         "--trace-dir", default=None, help="write jax.profiler traces here"
@@ -130,7 +141,8 @@ def main(argv=None) -> int:
     from .config import GridParams, ImagingConfig
     from .utils.timing import PhaseTimer
 
-    timer = PhaseTimer(enabled=args.dump_phases, trace_dir=args.trace_dir)
+    timer = PhaseTimer(enabled=args.dump_phases or args.device_phases,
+                       trace_dir=args.trace_dir)
 
     if args.make_data:
         from .io.synthetic import SyntheticConfig, generate_dataset
@@ -202,7 +214,8 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
     if args.mode == "idg":
         mx, _ = ds.idg_gridding(
             vis_path, n=cfg.n_vis, outfile=args.output, config=cfg,
-            timer=timer, subgrid=args.subgrid,
+            timer=timer, subgrid=args.subgrid, fov_pad=args.fov_pad,
+            device_phases=args.device_phases,
         )
         print(f"image max: {mx}")
         metrics.emit("run/done", image_max=mx, phases=timer.times)
@@ -232,6 +245,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             mx, _ = ds.w_gridding(
                 wkern_path, vis_path, n=cfg.n_vis, outfile=args.output,
                 config=cfg, timer=timer,
+                device_phases=args.device_phases,
             )
     else:
         # simple / wcache / conv: the reference's test-only imaging drivers

@@ -183,6 +183,34 @@ def idg_gridder(grid_shape, p, w, vis, *, theta: float, subgrid: int = 64,
     )
 
 
+def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
+                  support: int = 15, taper_beta: float = 12.0):
+    """Image-domain degridding dispatch (exact continuous-w predict).
+
+    TPU: the subgrid-walking Pallas kernel (``kernels/idg_degrid_pallas``);
+    elsewhere the XLA realization (``ops.idg.idg_degrid_wproj`` — also the
+    oracle).  Square grids only (both realizations assert).
+    """
+    from ..ops.idg import idg_degrid_wproj
+
+    if support > subgrid // 2 + 1:
+        raise ValueError(
+            f"IDG needs support <= subgrid/2+1; got s={support}, "
+            f"S={subgrid} — use a larger subgrid"
+        )
+    if _resolved_impl() == "pallas":
+        from .idg_degrid_pallas import idg_degrid_wproj_pallas
+
+        return idg_degrid_wproj_pallas(
+            grid_shape, p, w, grid, theta=theta, subgrid=subgrid,
+            support=support, taper_beta=taper_beta,
+        )
+    return idg_degrid_wproj(
+        grid_shape, p, w, grid, theta=theta, subgrid=subgrid,
+        support=support, taper_beta=taper_beta,
+    )
+
+
 # VMEM byte budget for the fused-AW kernel's resident spectral tables.  The
 # kernel itself is compiled with vmem_limit_bytes=100MB; accumulators,
 # record staging and pipeline double-buffers need the rest, so tables get

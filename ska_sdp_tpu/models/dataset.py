@@ -139,6 +139,56 @@ def _aw_pipeline(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *, theta,
     return img, jnp.max(img)
 
 
+def _wproj_staged(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk,
+                  timer):
+    """Stage-synchronized w-projection pipeline for device-time
+    attribution (see ``w_gridding(device_phases=True)``).
+
+    Complex data never crosses the host boundary: stages exchange (re, im)
+    real planes; intermediates stay on device between dispatches.
+    """
+    from functools import partial as _partial
+
+    n_grid = int(round(theta * lam))
+    timer.dispatch_floor()
+
+    @_partial(jax.jit, static_argnames=("theta", "lam"))
+    def prep(wbins, uvw, f, vr, vi, *, theta, lam):
+        uvw0 = uvw_lambda(f, uvw)
+        wt = doweight(theta, lam, uvw0, jnp.ones_like(vr))
+        uvw1, vis1 = mirror_uvw(uvw0, jax.lax.complex(vr, vi))
+        vis1 = vis1 * wt.astype(vis1.dtype)
+        wbin = find_closest(wbins, uvw1[:, 2])
+        return uvw1, wbin, jnp.real(vis1), jnp.imag(vis1)
+
+    @_partial(jax.jit, static_argnames=("theta", "lam", "chunk"))
+    def scatter(bank_re, bank_im, uvw1, wbin, vr1, vi1, *, theta, lam,
+                chunk):
+        bank = jax.lax.complex(bank_re, bank_im)
+        g = wproj_gridder(bank, (n_grid, n_grid), uvw1 / lam, wbin,
+                          jax.lax.complex(vr1, vi1), chunk=chunk)
+        return jnp.real(g), jnp.imag(g)
+
+    @jax.jit
+    def image(g_re, g_im):
+        g = jax.lax.complex(g_re, g_im)
+        img = jnp.real(ifft_centered(make_grid_hermitian(g)))
+        return img, jnp.max(img)
+
+    vr = np.ascontiguousarray(np.asarray(vis).real)
+    vi = np.ascontiguousarray(np.asarray(vis).imag)
+    bank_re = np.ascontiguousarray(np.asarray(bank_conj).real)
+    bank_im = np.ascontiguousarray(np.asarray(bank_conj).imag)
+
+    uvw1, wbin, vr1, vi1 = timer.device_stage(
+        "preprocess", prep, wbins, uvw, f, vr, vi, theta=theta, lam=lam)
+    g_re, g_im = timer.device_stage(
+        "scatter", scatter, bank_re, bank_im, uvw1, wbin, vr1, vi1,
+        theta=theta, lam=lam, chunk=chunk)
+    img, mx = timer.device_stage("hermitian+ifft", image, g_re, g_im)
+    return np.asarray(img), float(mx)
+
+
 @partial(complex_safe_jit, static_argnames=("theta", "lam", "chunk"))
 def _wproj_pipeline(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk):
     """w-projection-only device program (headline bench config)."""
@@ -216,9 +266,18 @@ def w_gridding(
     outfile: Optional[str] = None,
     config: ImagingConfig = ImagingConfig(),
     timer: Optional[PhaseTimer] = None,
+    device_phases: bool = False,
 ):
     """w-projection-only imaging run (no A-kernels): the headline benchmark
-    configuration (BASELINE.md config #2)."""
+    configuration (BASELINE.md config #2).
+
+    ``device_phases=True`` runs the pipeline as separately-synchronized
+    stages (preprocess / scatter / hermitian+iFFT) so per-stage device
+    times are attributable — the observability analog of the reference's
+    Accelerate ``dump_phases`` (VERDICT r2 #8).  Results are identical;
+    the staged run loses cross-stage fusion and each stage's time
+    includes one dispatch round-trip (reported as dispatch-floor).
+    """
     timer = timer or PhaseTimer()
     prec = config.precision
     theta, lam = config.grid.theta, config.grid.lam
@@ -229,19 +288,32 @@ def w_gridding(
         wkerns, wbins = get_wkernels(wfile, theta)
 
     n = n if n is not None else data.vis.shape[0]
-    with timer.phase("h2d+compile+grid+fft"):
-        img, mx = _wproj_pipeline(
+    if device_phases:
+        img, mx = _wproj_staged(
             np.conj(np.asarray(wkerns, prec.np_complex)),
             np.asarray(wbins, prec.np_real),
             np.asarray(data.uvw[:n], prec.np_real),
             np.asarray(data.frequency, prec.np_real),
             np.asarray(data.vis[:n], prec.np_complex),
-            theta=theta,
-            lam=lam,
-            chunk=min(8192, max(256, n)),
+            theta=theta, lam=lam, chunk=min(8192, max(256, n)),
+            timer=timer,
         )
-        img = np.asarray(img)
-        mx = float(mx)
+    else:
+        with timer.phase("h2d+compile+grid+fft"):
+            img, mx = _wproj_pipeline(
+                np.conj(np.asarray(wkerns, prec.np_complex)),
+                np.asarray(wbins, prec.np_real),
+                np.asarray(data.uvw[:n], prec.np_real),
+                np.asarray(data.frequency, prec.np_real),
+                np.asarray(data.vis[:n], prec.np_complex),
+                theta=theta,
+                lam=lam,
+                chunk=min(8192, max(256, n)),
+            )
+            img = np.asarray(img)
+            mx = float(mx)
+    img = np.asarray(img)
+    mx = float(mx)
 
     if outfile is not None:
         with timer.phase("write/img"):
@@ -250,28 +322,119 @@ def w_gridding(
     return mx, img
 
 
+def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer):
+    """Stage-synchronized IDG pipeline: preprocess / bin / kernel+fold /
+    hermitian+ifft+taper device times (plain FOV; cf. ``_idg_pipeline``)."""
+    from functools import partial as _partial
+
+    from .. import kernels
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    n_grid = int(round(theta * lam))
+    timer.dispatch_floor()
+
+    @_partial(jax.jit, static_argnames=("theta", "lam"))
+    def prep(uvw, f, vr, vi, *, theta, lam):
+        uvw0 = uvw_lambda(f, uvw)
+        wt = doweight(theta, lam, uvw0, jnp.ones_like(vr))
+        uvw1, vis1 = mirror_uvw(uvw0, jax.lax.complex(vr, vi))
+        vis1 = vis1 * wt.astype(vis1.dtype)
+        return uvw1, jnp.real(vis1), jnp.imag(vis1)
+
+    @jax.jit
+    def image(g_re, g_im):
+        g = jax.lax.complex(g_re, g_im)
+        img = jnp.real(ifft_centered(make_grid_hermitian(g)))
+        tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
+                        ).astype(img.dtype)
+        img = img / (tf[:, None] * tf[None, :])
+        return img, jnp.max(img)
+
+    vr = np.ascontiguousarray(np.asarray(vis).real)
+    vi = np.ascontiguousarray(np.asarray(vis).imag)
+    uvw1, vr1, vi1 = timer.device_stage(
+        "preprocess", prep, uvw, f, vr, vi, theta=theta, lam=lam)
+
+    if kernels._resolved_impl() == "pallas":
+        from ..kernels.idg_pallas import idg_bin_records, \
+            idg_grid_from_records
+
+        @jax.jit
+        def bin_stage(uvw1, vr1, vi1):
+            return idg_bin_records(
+                (n_grid, n_grid), uvw1 / lam, uvw1[:, 2], vr1, vi1,
+                subgrid=subgrid,
+            )
+
+        @jax.jit
+        def kern_stage(recs, starts):
+            return idg_grid_from_records(
+                recs, starts, (n_grid, n_grid), theta=theta,
+                subgrid=subgrid, taper_beta=taper_beta,
+            )
+
+        recs, starts = timer.device_stage("bin+sort", bin_stage,
+                                          uvw1, vr1, vi1)
+        g_re, g_im = timer.device_stage("idg-kernel+fold", kern_stage,
+                                        recs, starts)
+    else:
+        @jax.jit
+        def grid_stage(uvw1, vr1, vi1):
+            g = kernels.idg_gridder(
+                (n_grid, n_grid), uvw1 / lam, uvw1[:, 2],
+                jax.lax.complex(vr1, vi1), theta=theta, subgrid=subgrid,
+                taper_beta=taper_beta,
+            )
+            return jnp.real(g), jnp.imag(g)
+
+        g_re, g_im = timer.device_stage("idg-grid", grid_stage,
+                                        uvw1, vr1, vi1)
+
+    img, mx = timer.device_stage("hermitian+ifft+taper", image, g_re, g_im)
+    return np.asarray(img), float(mx)
+
+
 @partial(complex_safe_jit,
-         static_argnames=("theta", "lam", "subgrid", "taper_beta"))
-def _idg_pipeline(uvw, f, vis, *, theta, lam, subgrid, taper_beta):
+         static_argnames=("theta", "lam", "subgrid", "taper_beta",
+                          "fov_pad"))
+def _idg_pipeline(uvw, f, vis, *, theta, lam, subgrid, taper_beta,
+                  fov_pad=None):
     """Image-domain-gridding device program (MXU-native w-projection).
 
     Same step shape as ``_wproj_pipeline`` but the gridder is IDG (no
     kernel bank needed — the w screens are applied analytically) and the
     final image is taper-corrected.
+
+    ``fov_pad`` (a fraction f ≤ 1, e.g. 0.75) grids a padded FOV θ/f at
+    the same pixel size and crops the center, bounding the FULL
+    target-FOV error at ~1e-3 (``ops.idg.idg_fov_pad_plan`` for the
+    measured radial error profile).  ``None`` images the plain FOV —
+    quantifiably accurate inside ~75–87% of the image radius.
     """
     from ..kernels import idg_gridder
-    from ..ops.idg import kaiser_taper, taper_fine
+    from ..ops.idg import idg_fov_pad_plan, kaiser_taper, taper_fine
 
     uvw0 = uvw_lambda(f, uvw)
-    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
-    uvw1, vis1 = mirror_uvw(uvw0, vis)
     n = int(round(theta * lam))
-    guv = idg_gridder((n, n), uvw1 / lam, uvw1[:, 2], wt * vis1,
-                      theta=theta, subgrid=subgrid, taper_beta=taper_beta)
+    if fov_pad is not None:
+        n_pad, crop_lo = idg_fov_pad_plan(n, fov_pad)
+        theta_g = theta * n_pad / n
+    else:
+        n_pad, crop_lo = n, 0
+        theta_g = theta
+    wt = doweight(theta_g, lam, uvw0, jnp.ones_like(vis))
+    uvw1, vis1 = mirror_uvw(uvw0, vis)
+    guv = idg_gridder((n_pad, n_pad), uvw1 / lam, uvw1[:, 2], wt * vis1,
+                      theta=theta_g, subgrid=subgrid, taper_beta=taper_beta)
     img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
-    tf = taper_fine(n, subgrid, kaiser_taper(subgrid, taper_beta))
+    tf = taper_fine(n_pad, subgrid, kaiser_taper(subgrid, taper_beta))
     tf = tf.astype(img.dtype)
     img = img / (tf[:, None] * tf[None, :])
+    if n_pad != n:
+        # the centered iFFT scales by 1/n_pad²; restore the target-grid
+        # normalization so padded and plain runs share the image scale
+        img = img * ((n_pad / n) ** 2)
+        img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
     return img, jnp.max(img)
 
 
@@ -283,12 +446,16 @@ def idg_gridding(
     timer: Optional[PhaseTimer] = None,
     subgrid: int = 64,
     taper_beta: float = 12.0,
+    fov_pad: Optional[float] = None,
+    device_phases: bool = False,
 ):
     """Image-domain-gridding imaging run — the MXU-native w-projection
     mode (PAPERS.md #1; ``ops/idg.py`` for the math and accuracy bounds).
     Needs no w-kernel file: the screens the reference tabulates
     (``src/Gridding.hs:651-667``) are applied analytically in the image
-    domain.  Returns (image max, image)."""
+    domain.  ``fov_pad`` < 1 buys a full-FOV accuracy guarantee by
+    gridding a padded FOV and cropping (``ops.idg.idg_fov_pad_plan``).
+    Returns (image max, image)."""
     timer = timer or PhaseTimer()
     prec = config.precision
     theta, lam = config.grid.theta, config.grid.lam
@@ -296,15 +463,25 @@ def idg_gridding(
     with timer.phase("ingest/vis"):
         data = load_vis_data(datfile)
     n = n if n is not None else data.vis.shape[0]
-    with timer.phase("h2d+compile+grid+fft"):
-        img, mx = _idg_pipeline(
+    if device_phases:
+        img, mx = _idg_staged(
             np.asarray(data.uvw[:n], prec.np_real),
             np.asarray(data.frequency, prec.np_real),
             np.asarray(data.vis[:n], prec.np_complex),
             theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
+            timer=timer,
         )
-        img = np.asarray(img)
-        mx = float(mx)
+    else:
+        with timer.phase("h2d+compile+grid+fft"):
+            img, mx = _idg_pipeline(
+                np.asarray(data.uvw[:n], prec.np_real),
+                np.asarray(data.frequency, prec.np_real),
+                np.asarray(data.vis[:n], prec.np_complex),
+                theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
+                fov_pad=fov_pad,
+            )
+            img = np.asarray(img)
+            mx = float(mx)
     if outfile is not None:
         with timer.phase("write/img"):
             h5.create_file(outfile)
@@ -329,8 +506,9 @@ def _predict_pipeline(wkerns, wbins, img, uvw, f, *, theta, lam, chunk):
          static_argnames=("theta", "lam", "subgrid", "taper_beta"))
 def _idg_predict_pipeline(img, uvw, f, *, theta, lam, subgrid, taper_beta):
     """Model image → IDG degridding (exact continuous-w prediction)."""
+    from ..kernels import idg_degridder
     from ..ops import fft_centered
-    from ..ops.idg import idg_degrid_wproj, kaiser_taper, taper_fine
+    from ..ops.idg import kaiser_taper, taper_fine
 
     uvw0 = uvw_lambda(f, uvw)
     n = int(round(theta * lam))
@@ -338,7 +516,7 @@ def _idg_predict_pipeline(img, uvw, f, *, theta, lam, subgrid, taper_beta):
     tf2 = (tf[:, None] * tf[None, :]).astype(img.dtype)
     grid = fft_centered((img / tf2).astype(
         jnp.complex64 if img.dtype == jnp.float32 else jnp.complex128))
-    return idg_degrid_wproj(
+    return idg_degridder(
         (n, n), uvw0 / lam, uvw0[:, 2], grid, theta=theta,
         subgrid=subgrid, taper_beta=taper_beta,
     )

@@ -187,6 +187,32 @@ def _bin_chunk_records(grid_shape, p, w, subgrid: int, chunk: int,
     return dy, dx, wv, chunk_sub, ok, src, order, valid, geom
 
 
+def idg_fov_pad_plan(N: int, fov_fraction: float):
+    """Padded-FOV plan for full-FOV-accurate IDG imaging (VERDICT r2 #6).
+
+    The taper division amplifies error toward the image edge: measured on
+    the direct-DFT truth (``experiments/idg_fov_sweep.py``, max-norm
+    radius bands, S=64, β=12):
+
+        r ≤ 0.75 : ≤ 5e-5      0.75–0.875 : ~7e-4
+        0.875–0.95 : ~1e-2     r > 0.95   : O(0.3) — unusable
+
+    So the plain image is quantifiably accurate only inside ~75–87% of
+    the FOV.  For a FULL-FOV guarantee, grid a padded FOV so the target
+    image maps to the usable interior: with ``fov_fraction`` f the grid
+    becomes N′ = N/f (same pixel size, θ′ = θ·N′/N) and the center N
+    pixels are cropped.  f = 0.75 bounds the full target-FOV error at
+    ≤ ~1e-3 (dominated by the 0.75-radius ring) for ~1.8× grid area.
+
+    Returns (N_pad, crop_lo): grid at N_pad (same parity as N, so the
+    center crop is exact), crop rows/cols [crop_lo, crop_lo + N).
+    """
+    if not (0.0 < fov_fraction <= 1.0):
+        raise ValueError("fov_fraction must be in (0, 1]")
+    extra = int(-(-N * (1.0 / fov_fraction - 1.0) // 2)) * 2
+    return N + extra, extra // 2
+
+
 def _dft_matrix(S: int, dtype):
     """Centered forward DFT matrix: F[y, q] = e^{-2πi (y-S/2)(q-S/2)/S}.
 

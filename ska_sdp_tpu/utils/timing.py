@@ -47,3 +47,51 @@ class PhaseTimer:
         return "\n".join(
             f"{k:<28s} {v*1e3:10.2f} ms" for k, v in self.times.items()
         )
+
+    # ---- device-time attribution (VERDICT r2 #8) --------------------------
+    #
+    # The single-jit pipelines give one opaque "h2d+compile+grid+fft" wall
+    # time; a user cannot attribute a slow step to binning vs kernel vs
+    # FFT.  device_stage() runs one pipeline stage as its own synchronized
+    # dispatch and records its wall time under "device/<name>" — the
+    # practical equivalent of the reference's Accelerate phase dumps
+    # (app/Main.hs:84 dump_phases).  NOTE: each stage's time includes the
+    # host→device dispatch round trip (~27 ms through a remote-TPU tunnel,
+    # BENCH.md round 3); dispatch_floor() measures it once so readers can
+    # subtract.
+
+    def device_stage(self, name: str, fn, *args, **kwargs):
+        """Run ``fn(*args)``, block until the device finishes, record the
+        wall time as ``device/<name>`` and return fn's result."""
+        import jax
+
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        out = jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        key = f"device/{name}"
+        self.times[key] = self.times.get(key, 0.0) + dt
+        if self.enabled:
+            print(f"[device-phase] {name:<24s} {dt*1e3:10.2f} ms", flush=True)
+        return out
+
+    def dispatch_floor(self) -> float:
+        """One-time measurement of the per-dispatch round-trip latency
+        (a trivial jitted op, fully synchronized)."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def tiny(x):
+            return jnp.sum(jnp.sin(x))
+
+        jax.block_until_ready(tiny(jnp.arange(8.0)))       # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(jnp.arange(8.0) + 1.0))
+        dt = time.perf_counter() - t0
+        self.times["device/dispatch-floor"] = dt
+        if self.enabled:
+            print(f"[device-phase] {'dispatch-floor':<24s} {dt*1e3:10.2f} ms"
+                  " (per-stage host round-trip; subtract from each stage)",
+                  flush=True)
+        return dt

@@ -442,3 +442,35 @@ class TestCLIMissingInputs:
         assert r.returncode == 1
         assert "input file not found" in r.stderr
         assert "akern" in r.stderr
+
+
+class TestDevicePhases:
+    def test_device_phase_breakdown_printed(self, tmp_path):
+        """VERDICT r2 #8: --device-phases prints a per-stage device-time
+        breakdown (preprocess / scatter / FFT) plus the dispatch floor."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "3", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "w",
+             "-i", d, "--all", "--backend", "cpu", "--device-phases",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        for stage in ("dispatch-floor", "preprocess", "scatter",
+                      "hermitian+ifft"):
+            assert f"[device-phase] {stage}" in r.stdout, r.stdout
+        assert "image max:" in r.stdout

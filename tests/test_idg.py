@@ -291,3 +291,121 @@ class TestIDGPallas:
         )
         img = _corrected_image(np.asarray(g), S=64)
         assert _rel(img, _truth_image(p, w, vis)) < 3e-4
+
+
+class TestIDGFovBound:
+    """Quantified usable-FOV claims (VERDICT r2 #6): the plain image is
+    accurate inside 75% of the max-norm radius; the padded-FOV plan
+    (``idg_fov_pad_plan``) bounds the FULL target-FOV error.  These assert
+    the claimed bounds — measured in experiments/idg_fov_sweep.py —
+    instead of silently cropping."""
+
+    def test_plain_fov_interior_bound(self, rng):
+        p, w, vis = _problem(rng, b=400)
+        g = idg_grid_wproj(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis),
+            theta=THETA,
+        )
+        img = _corrected_image(g)
+        ref = _truth_image(p, w, vis)
+        yy, xx = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+        r = np.maximum(np.abs(yy - N // 2), np.abs(xx - N // 2)) / (N // 2)
+        m = r <= 0.75
+        err = np.linalg.norm((img - ref)[m]) / np.linalg.norm(ref[m])
+        assert err < 1e-3, err
+
+    def test_fov_pad_full_image_bound(self, rng):
+        from ska_sdp_tpu.ops.idg import idg_fov_pad_plan
+
+        p, w, vis = _problem(rng, b=400)
+        n_pad, lo = idg_fov_pad_plan(N, 0.75)
+        theta_g = THETA * n_pad / N
+        g = idg_grid_wproj(
+            (n_pad, n_pad), jnp.asarray(p), jnp.asarray(w),
+            jnp.asarray(vis), theta=theta_g,
+        )
+        tf = np.asarray(taper_fine(n_pad, S, kaiser_taper(S, BETA)))
+        img = np.asarray(ifft_centered(g)) / np.outer(tf, tf)
+        img = img * (n_pad / N) ** 2          # iFFT 1/n² renormalization
+        img = img[lo:lo + N, lo:lo + N]
+        ref = _truth_image(p, w, vis)
+        err = np.linalg.norm(img - ref) / np.linalg.norm(ref)
+        assert err < 1e-3, err
+
+    def test_fov_pad_plan_geometry(self):
+        from ska_sdp_tpu.ops.idg import idg_fov_pad_plan
+
+        n_pad, lo = idg_fov_pad_plan(2400, 0.75)
+        assert n_pad >= 3200 and (n_pad - 2400) % 2 == 0
+        assert lo == (n_pad - 2400) // 2
+        assert idg_fov_pad_plan(256, 1.0) == (256, 0)
+        with pytest.raises(ValueError):
+            idg_fov_pad_plan(256, 0.0)
+
+
+class TestIDGDegridPallas:
+    """Pallas IDG degridder vs the XLA realization (interpret mode) +
+    adjointness through the Pallas pair (VERDICT r2 #4)."""
+
+    def test_matches_xla_idg_degrid(self, rng):
+        from ska_sdp_tpu.kernels.idg_degrid_pallas import (
+            idg_degrid_wproj_pallas,
+        )
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        b = 300
+        p, w, vis = _problem(rng, b=b)
+        grid = (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        got = idg_degrid_wproj_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(grid),
+            theta=THETA, subgrid=S, interpret=True,
+        )
+        want = idg_degrid_wproj(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(grid),
+            theta=THETA, subgrid=S,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
+        )
+
+    def test_oob_zeroed(self, rng):
+        from ska_sdp_tpu.kernels.idg_degrid_pallas import (
+            idg_degrid_wproj_pallas,
+        )
+
+        b = 64
+        p = rng.uniform(0.47, 0.60, (b, 3))
+        p[::2] *= -1
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        grid = (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        got = np.asarray(idg_degrid_wproj_pallas(
+            (N, N), jnp.asarray(p.astype(np.float32)), jnp.asarray(w),
+            jnp.asarray(grid), theta=THETA, subgrid=S, interpret=True,
+        ))
+        fully_out = np.abs(p[:, :2]).max(axis=1) > 0.5 + (17 / (2 * N))
+        assert np.all(got[fully_out] == 0)
+
+    def test_adjoint_through_pallas_pair(self, rng):
+        # <G, grid(v)> == <degrid(G), v> with the taper folded both ways
+        from ska_sdp_tpu.kernels.idg_degrid_pallas import (
+            idg_degrid_wproj_pallas,
+        )
+        from ska_sdp_tpu.kernels.idg_pallas import idg_gridder_pallas
+
+        b = 200
+        p, w, vis = _problem(rng, b=b)
+        G = (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        Av = np.asarray(idg_gridder_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis),
+            theta=THETA, subgrid=S, interpret=True,
+        ))
+        AtG = np.asarray(idg_degrid_wproj_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(G),
+            theta=THETA, subgrid=S, interpret=True,
+        ))
+        lhs = np.vdot(G, Av)
+        rhs = np.vdot(AtG, vis)
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-3, (lhs, rhs)
