@@ -336,7 +336,7 @@ def main() -> None:
                         "unit": "vis/s",
                     },
                     {
-                        "metric": "fused AW-projection (on-the-fly A1*A2*W, 64 ants)",
+                        "metric": "fused AW-projection (on-the-fly A1*A2*W, 64 ants; default split3 tier, 3.4e-6 rel err vs XLA oracle — SKA_SDP_TPU_AW_PRECISION=fast is ~1.4x faster at 2.5e-3)",
                         "value": round(aw_rate, 1),
                         "unit": "vis/s",
                     },
