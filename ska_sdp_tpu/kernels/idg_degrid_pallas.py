@@ -39,15 +39,15 @@ from .idg_pallas import CHUNK, _align
 
 
 def _kernel(starts_ref, recs_hbm, asub_ref, out_main, out_head,
-            recs_v, stage, sems, *, S: int, theta: float):
+            recs_v, stage, sems, *, S: int, theta: float, theta_x: float):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
 
     cq = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) - (S // 2)
           ).astype(jnp.float32)
-    lq = cq * (theta / S)
-    lq2 = lq * lq
+    lq2y = (cq * (theta / S)) ** 2
+    lq2x = (cq * (theta_x / S)) ** 2
     b_lo = start // CHUNK
     nblocks = jnp.where(end > start, (end - 1) // CHUNK - b_lo + 1, 0)
 
@@ -92,8 +92,8 @@ def _kernel(starts_ref, recs_hbm, asub_ref, out_main, out_head,
 
         two_pi_s = jnp.float32(2.0 * np.pi / S)
         pi_ = jnp.float32(np.pi)
-        ph_y = two_pi_s * cq * dy - pi_ * lq2 * w      # (S, CHUNK)
-        ph_x = two_pi_s * cq * dx - pi_ * lq2 * w
+        ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, CHUNK)
+        ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
         ey_re = jnp.cos(ph_y)
         ey_im = jnp.sin(ph_y)
         ex_re = jnp.cos(ph_x)
@@ -198,27 +198,28 @@ def idg_degrid_wproj_pallas(grid_shape, p, w, grid, *, theta: float,
                             taper_beta: float = 12.0,
                             interpret: bool = False):
     """IDG degridding on TPU — same contract as ``ops.idg.idg_degrid_wproj``
-    (grid [N, N] complex in, [n] complex visibilities out, OOB → 0)."""
+    (grid [H, W] complex in — non-square supported — [n] complex
+    visibilities out, OOB → 0)."""
     N, Nx = grid_shape
-    assert N == Nx, "square grids for now (lifted with ops.idg)"
     S = subgrid
     T = S // 2
     assert support <= T + 1
     PADM = T
     nty = -(-(N + 2 * PADM) // T) + 1
-    n_sub = nty * nty
+    ntx = -(-(Nx + 2 * PADM) // T) + 1
+    n_sub = nty * ntx
     n = p.shape[0]
     cdt = grid.dtype
 
     recs, starts, order, valid = _prep_with_order(
-        N, Nx, S, T, PADM, nty, nty, p, w, support
+        N, Nx, S, T, PADM, nty, ntx, p, w, support
     )
     nblk = recs.shape[0]
 
     # ---- XLA prolog: adjoint-sandwich subgrid images (taper in F)
-    gp = jnp.zeros(((nty + 1) * T, (nty + 1) * T), cdt)
-    gp = gp.at[PADM:PADM + N, PADM:PADM + N].set(grid)
-    wins = _overlap_windows(gp, nty, S, T).reshape(n_sub, S, S)
+    gp = jnp.zeros(((nty + 1) * T, (ntx + 1) * T), cdt)
+    gp = gp.at[PADM:PADM + N, PADM:PADM + Nx].set(grid)
+    wins = _overlap_windows(gp, nty, S, T, ntx).reshape(n_sub, S, S)
     F = _dft_matrix(S, cdt)
     if taper_beta > 0:
         t1 = kaiser_taper(S, taper_beta, jnp.float32)
@@ -252,7 +253,8 @@ def idg_degrid_wproj_pallas(grid_shape, p, w, grid, *, theta: float,
     )
 
     main, head = pl.pallas_call(
-        functools.partial(_kernel, S=S, theta=theta),
+        functools.partial(_kernel, S=S, theta=theta,
+                          theta_x=theta * Nx / N),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nblk, 8, CHUNK), jnp.float32),

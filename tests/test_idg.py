@@ -409,3 +409,71 @@ class TestIDGDegridPallas:
         lhs = np.vdot(G, Av)
         rhs = np.vdot(AtG, vis)
         assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-3, (lhs, rhs)
+
+
+class TestIDGNonSquare:
+    """H≠W grids through the whole IDG stack (VERDICT r2 #4): XLA pair
+    adjointness + Pallas parity on a rectangular grid."""
+
+    def test_xla_grid_degrid_adjoint_rect(self, rng):
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        H, W, b = 192, 320, 250
+        p = rng.uniform(-0.42, 0.42, (b, 3)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+        G = (rng.standard_normal((H, W))
+             + 1j * rng.standard_normal((H, W))).astype(np.complex64)
+        Av = np.asarray(idg_grid_wproj(
+            (H, W), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis),
+            theta=0.05,
+        ))
+        AtG = np.asarray(idg_degrid_wproj(
+            (H, W), jnp.asarray(p), jnp.asarray(w), jnp.asarray(G),
+            theta=0.05,
+        ))
+        lhs = np.vdot(G, Av)
+        rhs = np.vdot(AtG, vis)
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-3, (lhs, rhs)
+
+    def test_pallas_matches_xla_rect(self, rng):
+        from ska_sdp_tpu.kernels.idg_pallas import idg_gridder_pallas
+
+        H, W, b = 192, 320, 250
+        p = rng.uniform(-0.42, 0.42, (b, 3)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+        got = np.asarray(idg_gridder_pallas(
+            (H, W), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis),
+            theta=0.05, subgrid=S, interpret=True,
+        ))
+        want = np.asarray(idg_grid_wproj(
+            (H, W), jnp.asarray(p), jnp.asarray(w), jnp.asarray(vis),
+            theta=0.05, subgrid=S,
+        ))
+        d = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert d < 1e-5, d
+
+    def test_pallas_degrid_matches_xla_rect(self, rng):
+        from ska_sdp_tpu.kernels.idg_degrid_pallas import (
+            idg_degrid_wproj_pallas,
+        )
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        H, W, b = 192, 320, 250
+        p = rng.uniform(-0.42, 0.42, (b, 3)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        G = (rng.standard_normal((H, W))
+             + 1j * rng.standard_normal((H, W))).astype(np.complex64)
+        got = np.asarray(idg_degrid_wproj_pallas(
+            (H, W), jnp.asarray(p), jnp.asarray(w), jnp.asarray(G),
+            theta=0.05, subgrid=S, interpret=True,
+        ))
+        want = np.asarray(idg_degrid_wproj(
+            (H, W), jnp.asarray(p), jnp.asarray(w), jnp.asarray(G),
+            theta=0.05, subgrid=S,
+        ))
+        d = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert d < 1e-5, d
