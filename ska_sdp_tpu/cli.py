@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="print per-phase wall-clock timings",
     )
     p.add_argument(
+        "--dump-intermediates", metavar="FILE", default=None,
+        help="write pipeline intermediates (uv-grid planes, wbins, image) "
+             "to FILE (/debug tree) — the reference's GridTesting debug "
+             "dumps, asserted-pipeline edition (--mode w)",
+    )
+    p.add_argument(
         "--device-phases", action="store_true",
         help="run the pipeline as separately-synchronized stages and "
              "print per-stage DEVICE times (preprocess/scatter/FFT "
@@ -246,6 +252,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
                 wkern_path, vis_path, n=cfg.n_vis, outfile=args.output,
                 config=cfg, timer=timer,
                 device_phases=args.device_phases,
+                dump_intermediates=args.dump_intermediates,
             )
     else:
         # simple / wcache / conv: the reference's test-only imaging drivers

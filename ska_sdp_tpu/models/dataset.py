@@ -140,7 +140,7 @@ def _aw_pipeline(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *, theta,
 
 
 def _wproj_staged(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk,
-                  timer):
+                  timer, dump_to=None):
     """Stage-synchronized w-projection pipeline for device-time
     attribution (see ``w_gridding(device_phases=True)``).
 
@@ -186,6 +186,19 @@ def _wproj_staged(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk,
         "scatter", scatter, bank_re, bank_im, uvw1, wbin, vr1, vi1,
         theta=theta, lam=lam, chunk=chunk)
     img, mx = timer.device_stage("hermitian+ifft", image, g_re, g_im)
+    if dump_to is not None:
+        # debug-dump the pipeline intermediates — the asserted-pipeline
+        # analog of the reference's GridTesting.hs convolveTest.h5 dumps
+        # (/root/reference/test/GridTesting.hs:538-546)
+        h5.create_file(dump_to)
+        h5.write_dataset(dump_to, "/debug/uvgrid_re",
+                         np.asarray(g_re, np.float32))
+        h5.write_dataset(dump_to, "/debug/uvgrid_im",
+                         np.asarray(g_im, np.float32))
+        h5.write_dataset(dump_to, "/debug/wbin",
+                         np.asarray(wbin, np.int32))
+        h5.write_dataset(dump_to, "/debug/img",
+                         np.asarray(img, np.float32))
     return np.asarray(img), float(mx)
 
 
@@ -267,6 +280,7 @@ def w_gridding(
     config: ImagingConfig = ImagingConfig(),
     timer: Optional[PhaseTimer] = None,
     device_phases: bool = False,
+    dump_intermediates: Optional[str] = None,
 ):
     """w-projection-only imaging run (no A-kernels): the headline benchmark
     configuration (BASELINE.md config #2).
@@ -288,7 +302,7 @@ def w_gridding(
         wkerns, wbins = get_wkernels(wfile, theta)
 
     n = n if n is not None else data.vis.shape[0]
-    if device_phases:
+    if device_phases or dump_intermediates:
         img, mx = _wproj_staged(
             np.conj(np.asarray(wkerns, prec.np_complex)),
             np.asarray(wbins, prec.np_real),
@@ -296,7 +310,7 @@ def w_gridding(
             np.asarray(data.frequency, prec.np_real),
             np.asarray(data.vis[:n], prec.np_complex),
             theta=theta, lam=lam, chunk=min(8192, max(256, n)),
-            timer=timer,
+            timer=timer, dump_to=dump_intermediates,
         )
     else:
         with timer.phase("h2d+compile+grid+fft"):

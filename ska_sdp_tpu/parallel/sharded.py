@@ -64,8 +64,11 @@ def sharded_wproj_grid(mesh: Mesh, bank_conj, p, wbin, vis, n_grid: int,
     """
 
     def local(bank_conj, p, wbin, vis):
+        # route through the kernels dispatcher so each chip runs the
+        # resident/tiled Pallas gridder on TPU (XLA on CPU test meshes)
         guv = _varying_zeros((n_grid, n_grid), vis.dtype)
-        part = convgrid_wproj(bank_conj, guv, p, wbin, vis, chunk=chunk)
+        part = wproj_gridder(bank_conj, (n_grid, n_grid), p, wbin, vis,
+                             chunk=chunk, init=guv)
         return jax.lax.psum(part, VIS_AXIS)
 
     fn = shard_map(
@@ -91,8 +94,8 @@ def sharded_wproj_image(mesh: Mesh, bank_conj, wbin_centers, uvw_l, vis,
         uvw1, vis1 = mirror_uvw(uvw_l, vis)
         wbin = find_closest(centers, uvw1[:, 2])
         guv = _varying_zeros((n_grid, n_grid), vis.dtype)
-        part = convgrid_wproj(bank_conj, guv, uvw1 / lam, wbin, wt * vis1,
-                              chunk=chunk)
+        part = wproj_gridder(bank_conj, (n_grid, n_grid), uvw1 / lam, wbin,
+                             wt * vis1, chunk=chunk, init=guv)
         full = jax.lax.psum(part, VIS_AXIS)
         img = jnp.real(ifft_centered(make_grid_hermitian(full)))
         return img

@@ -474,3 +474,42 @@ class TestDevicePhases:
                       "hermitian+ifft"):
             assert f"[device-phase] {stage}" in r.stdout, r.stdout
         assert "image max:" in r.stdout
+
+
+class TestDumpIntermediates:
+    def test_debug_dump_tree(self, tmp_path):
+        """--dump-intermediates writes the uv-grid planes + image (the
+        reference's GridTesting convolveTest.h5 dumps, asserted)."""
+        import os
+        import subprocess
+        import sys
+
+        import h5py
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "3", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        dbg = str(tmp_path / "dbg.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "w",
+             "-i", d, "--all", "--backend", "cpu",
+             "--dump-intermediates", dbg,
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        with h5py.File(dbg, "r") as f:
+            n = 80
+            assert f["/debug/uvgrid_re"].shape == (n, n)
+            assert f["/debug/uvgrid_im"].shape == (n, n)
+            assert f["/debug/img"].shape == (n, n)
+            import numpy as np
+
+            assert np.isfinite(np.asarray(f["/debug/img"])).all()
