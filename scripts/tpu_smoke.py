@@ -9,9 +9,8 @@ regardless of the program, so K data-dependent salted steps run per
 dispatch and the per-step device time is reported.
 
 Run: PYTHONPATH=. python scripts/tpu_smoke.py   (on the TPU machine)
-Healthy round-3 signals (v5e): wproj ~30M, degrid ~17M, AW ~9M, IDG ~32M,
-IDG degrid ~15M vis/s; parity ≤ 2e-4 everywhere (AW ≤ 5e-3 — documented
-single-pass bf16 matmuls; SKA_SDP_TPU_AW_EXACT=1 for exact f32).
+Healthy round-3 signals (v5e): wproj ~30M, degrid ~27M, AW ~7M (split3
+tier), IDG ~30M, IDG degrid ~28M vis/s; parity ≤ 2e-4 everywhere.
 """
 
 from __future__ import annotations
@@ -79,7 +78,13 @@ def main() -> int:
 
     # --- parity on a small case (on-chip, vs the XLA paths) ---
     ns, hs = 4000, 512
-    ps = jnp.asarray(rng.uniform(-0.49, 0.49, (ns, 3)).astype(np.float32))
+    # cluster 3/4 of the records into a tiny uv patch so the multi-block
+    # kernel paths (record streaming, IDG-degrid head/main/drain) run with
+    # nblocks >= 3 on real hardware, not just single-record subgrids
+    ps_np = rng.uniform(-0.49, 0.49, (ns, 3)).astype(np.float32)
+    ps_np[: 3 * ns // 4, :2] = rng.uniform(
+        0.01, 0.03, (3 * ns // 4, 2)).astype(np.float32)
+    ps = jnp.asarray(ps_np)
     wbs = jnp.asarray(rng.integers(0, NW, ns).astype(np.int32))
     vrs = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
     vis_ = jnp.asarray(rng.standard_normal(ns).astype(np.float32))

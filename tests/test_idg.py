@@ -477,3 +477,37 @@ class TestIDGNonSquare:
         ))
         d = np.linalg.norm(got - want) / np.linalg.norm(want)
         assert d < 1e-5, d
+
+
+class TestIDGDegridPallasMultiBlock:
+    def test_clustered_records_exercise_block_streaming(self, rng):
+        """Thousands of records concentrated in few subgrids force the
+        kernel's multi-block path (head + streamed main blocks + the
+        double-buffered drain at nblocks >= 3) — uniform tests leave every
+        program with <= 1 block."""
+        from ska_sdp_tpu.kernels.idg_degrid_pallas import (
+            idg_degrid_wproj_pallas,
+        )
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+
+        b = 4000
+        # cluster 90% of records into a tiny uv patch (one/two subgrids
+        # get ~10+ blocks); keep 10% spread out for mixed coverage
+        p = rng.uniform(-0.42, 0.42, (b, 3)).astype(np.float32)
+        p[: (9 * b) // 10, :2] = rng.uniform(
+            0.01, 0.03, ((9 * b) // 10, 2)
+        ).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        grid = (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        got = idg_degrid_wproj_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(grid),
+            theta=THETA, subgrid=S, interpret=True,
+        )
+        want = idg_degrid_wproj(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(grid),
+            theta=THETA, subgrid=S,
+        )
+        d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
+            np.linalg.norm(np.asarray(want))
+        assert d < 1e-5, d
