@@ -92,8 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checkpoint", default=None,
                    help="resumable run: checkpoint .h5 path (--mode w)")
-    p.add_argument("--slab", type=int, default=1 << 18,
-                   help="visibilities per checkpoint slab")
+    p.add_argument("--slab", type=int, default=1 << 20,
+                   help="visibilities per checkpoint slab (keep >=1M: each "
+                        "slab pays one host dispatch round-trip ~27 ms, "
+                        "BENCH.md round 3)")
     p.add_argument("--out-of-core", action="store_true",
                    help="stream visibility slabs from disk with background "
                         "prefetch (requires --checkpoint; --mode w)")

@@ -660,7 +660,7 @@ def w_gridding_checkpointed(
     checkpoint: str,
     n: Optional[int] = None,
     outfile: Optional[str] = None,
-    slab: int = 1 << 18,
+    slab: int = 1 << 20,
     config: ImagingConfig = ImagingConfig(),
     timer: Optional[PhaseTimer] = None,
     _max_slabs: Optional[int] = None,
@@ -772,7 +772,7 @@ def w_gridding_out_of_core(
     checkpoint: str,
     n: Optional[int] = None,
     outfile: Optional[str] = None,
-    slab: int = 1 << 18,
+    slab: int = 1 << 20,
     config: ImagingConfig = ImagingConfig(),
     timer: Optional[PhaseTimer] = None,
 ):
