@@ -138,7 +138,7 @@ def wproj_resident_records(grid_shape, qpx: int, gh: int, gw: int, p, wbin,
 
 
 def wproj_resident_from_records(bank_re, bank_im, grid_shape, recs,
-                                unroll: int = 32, interpret: bool = False):
+                                unroll: int = 64, interpret: bool = False):
     """Scatter a packed record stream onto the resident grid.
 
     ``recs``: [nblk, 8, C] from :func:`wproj_resident_records` — records in
