@@ -149,8 +149,11 @@ def main(argv=None) -> int:
     from .config import GridParams, ImagingConfig
     from .utils.timing import PhaseTimer
 
-    timer = PhaseTimer(enabled=args.dump_phases or args.device_phases,
-                       trace_dir=args.trace_dir)
+    # None (not False) keeps the SKA_SDP_TPU_DUMP_PHASES env fallback alive
+    timer = PhaseTimer(
+        enabled=(args.dump_phases or args.device_phases) or None,
+        trace_dir=args.trace_dir,
+    )
 
     if args.make_data:
         from .io.synthetic import SyntheticConfig, generate_dataset
@@ -235,6 +238,10 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             outfile=args.output, old=args.old, config=cfg, timer=timer,
         )
     elif args.mode == "w":
+        if args.checkpoint and (args.device_phases or args.dump_intermediates):
+            print("warning: --device-phases/--dump-intermediates are not "
+                  "supported on the checkpointed/out-of-core paths (ignored)",
+                  file=sys.stderr)
         if args.out_of_core and not args.checkpoint:
             print("error: --out-of-core requires --checkpoint",
                   file=sys.stderr)

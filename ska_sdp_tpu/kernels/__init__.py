@@ -189,7 +189,7 @@ def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
 
     TPU: the subgrid-walking Pallas kernel (``kernels/idg_degrid_pallas``);
     elsewhere the XLA realization (``ops.idg.idg_degrid_wproj`` — also the
-    oracle).  Square grids only (both realizations assert).
+    oracle).  Non-square grids supported on both paths.
     """
     from ..ops.idg import idg_degrid_wproj
 

@@ -85,7 +85,10 @@ def aw_resident_fits(H: int, W: int, nant: int, nw: int, qpx: int,
         return False
     HP, WP2 = _geometry(H, W)
     acc = HP * WP2 * 4
-    tables = (nant * nant + nw * qpx * qpx) * m * m * 8
+    # tables are (count, m²/128, 128) f32 planes; Mosaic pads the
+    # second-minor dim to 8 sublanes, so small m (nrow < 8) costs 8 rows
+    nrow_pad = max(m * m // 128, 8)
+    tables = (nant * nant + nw * qpx * qpx) * nrow_pad * 128 * 4 * 2
     mats = 2 * 128 * (128 // m) * 2 * s * 4 \
         + 2 * (128 // m) * UNROLL * ROWSP * UNROLL * (m * m // 128) * 4
     slack = 6 * 1024 * 1024

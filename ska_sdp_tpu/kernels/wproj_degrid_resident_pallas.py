@@ -86,18 +86,12 @@ def wproj_degrid_resident_planes(bank_re, bank_im, grid_re, grid_im, p, wbin,
     n = p.shape[0]
     HP, WP2 = _geometry(H, W)
 
-    # packed records in input order (vis rows unused by the gather)
+    # packed records in input order (vis rows unused by the gather);
+    # the packer also hands back the validity mask for the output epilogue
     zeros = jnp.zeros((n,), jnp.float32)
-    recs = wproj_resident_records((H, W), qpx, gh, gw, p, wbin, zeros, zeros)
+    recs, valid = wproj_resident_records((H, W), qpx, gh, gw, p, wbin,
+                                         zeros, zeros, return_valid=True)
     nblk = recs.shape[0]
-
-    # validity for the output mask (same predicate as the record packer)
-    from ..ops.coords import frac_coords
-
-    x, _, y, _ = frac_coords((H, W), qpx, p)
-    y0 = y - gh // 2
-    x0 = x - gw // 2
-    valid = (y0 > -gh) & (y0 < H) & (x0 > -gw) & (x0 < W)
 
     gp = jnp.zeros((HP, WP2), jnp.float32)
     inter = jnp.stack([grid_re.astype(jnp.float32),

@@ -110,12 +110,14 @@ def _kernel(recs_ref, bank_a_ref, bank_b_ref, out_ref, *, unroll: int):
 
 
 def wproj_resident_records(grid_shape, qpx: int, gh: int, gw: int, p, wbin,
-                           vis_re, vis_im):
+                           vis_re, vis_im, return_valid: bool = False):
     """Pack per-visibility records [nblk, 8, C] — no sort, input order.
 
     Row layout: 0=y0p, 1=x0p, 2=kidx, 3=vr, 4=vi (rows 5-7 zero; 8 rows
     keep the SMEM block sublane-aligned).  Invalid (fully out-of-bounds)
     records keep position (0, 0) with zeroed vis — a zero patch.
+    ``return_valid=True`` also returns the [n] validity mask (the degrid
+    epilogue needs it; one shared predicate, not a copy).
     """
     H, W = grid_shape
     x, xf, y, yf = frac_coords((H, W), qpx, p)
@@ -134,7 +136,8 @@ def wproj_resident_records(grid_shape, qpx: int, gh: int, gw: int, p, wbin,
     rows = [jnp.concatenate([r, zero[: n_pad - n]])
             for r in (y0p, x0p, kidx, vr, vi)]
     rows += [zero] * 3
-    return jnp.stack(rows).reshape(8, n_pad // C, C).transpose(1, 0, 2)
+    recs = jnp.stack(rows).reshape(8, n_pad // C, C).transpose(1, 0, 2)
+    return (recs, valid) if return_valid else recs
 
 
 def wproj_resident_from_records(bank_re, bank_im, grid_shape, recs,

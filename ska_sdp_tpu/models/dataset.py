@@ -324,8 +324,6 @@ def w_gridding(
                 lam=lam,
                 chunk=min(8192, max(256, n)),
             )
-            img = np.asarray(img)
-            mx = float(mx)
     img = np.asarray(img)
     mx = float(mx)
 
@@ -336,15 +334,23 @@ def w_gridding(
     return mx, img
 
 
-def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer):
+def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer,
+                fov_pad=None):
     """Stage-synchronized IDG pipeline: preprocess / bin / kernel+fold /
-    hermitian+ifft+taper device times (plain FOV; cf. ``_idg_pipeline``)."""
+    hermitian+ifft+taper device times (cf. ``_idg_pipeline``; same
+    ``fov_pad`` padded-FOV/crop semantics)."""
     from functools import partial as _partial
 
     from .. import kernels
-    from ..ops.idg import kaiser_taper, taper_fine
+    from ..ops.idg import idg_fov_pad_plan, kaiser_taper, taper_fine
 
-    n_grid = int(round(theta * lam))
+    n = int(round(theta * lam))
+    if fov_pad is not None:
+        n_grid, crop_lo = idg_fov_pad_plan(n, fov_pad)
+        theta_g = theta * n_grid / n
+    else:
+        n_grid, crop_lo = n, 0
+        theta_g = theta
     timer.dispatch_floor()
 
     @_partial(jax.jit, static_argnames=("theta", "lam"))
@@ -362,12 +368,15 @@ def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer):
         tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
                         ).astype(img.dtype)
         img = img / (tf[:, None] * tf[None, :])
+        if n_grid != n:
+            img = img * ((n_grid / n) ** 2)
+            img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
         return img, jnp.max(img)
 
     vr = np.ascontiguousarray(np.asarray(vis).real)
     vi = np.ascontiguousarray(np.asarray(vis).imag)
     uvw1, vr1, vi1 = timer.device_stage(
-        "preprocess", prep, uvw, f, vr, vi, theta=theta, lam=lam)
+        "preprocess", prep, uvw, f, vr, vi, theta=theta_g, lam=lam)
 
     if kernels._resolved_impl() == "pallas":
         from ..kernels.idg_pallas import idg_bin_records, \
@@ -383,7 +392,7 @@ def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer):
         @jax.jit
         def kern_stage(recs, starts):
             return idg_grid_from_records(
-                recs, starts, (n_grid, n_grid), theta=theta,
+                recs, starts, (n_grid, n_grid), theta=theta_g,
                 subgrid=subgrid, taper_beta=taper_beta,
             )
 
@@ -396,7 +405,7 @@ def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer):
         def grid_stage(uvw1, vr1, vi1):
             g = kernels.idg_gridder(
                 (n_grid, n_grid), uvw1 / lam, uvw1[:, 2],
-                jax.lax.complex(vr1, vi1), theta=theta, subgrid=subgrid,
+                jax.lax.complex(vr1, vi1), theta=theta_g, subgrid=subgrid,
                 taper_beta=taper_beta,
             )
             return jnp.real(g), jnp.imag(g)
@@ -483,7 +492,7 @@ def idg_gridding(
             np.asarray(data.frequency, prec.np_real),
             np.asarray(data.vis[:n], prec.np_complex),
             theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
-            timer=timer,
+            timer=timer, fov_pad=fov_pad,
         )
     else:
         with timer.phase("h2d+compile+grid+fft"):
@@ -494,8 +503,8 @@ def idg_gridding(
                 theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
                 fov_pad=fov_pad,
             )
-            img = np.asarray(img)
-            mx = float(mx)
+        img = np.asarray(img)
+        mx = float(mx)
     if outfile is not None:
         with timer.phase("write/img"):
             h5.create_file(outfile)

@@ -61,18 +61,32 @@ class PhaseTimer:
     # subtract.
 
     def device_stage(self, name: str, fn, *args, **kwargs):
-        """Run ``fn(*args)``, block until the device finishes, record the
-        wall time as ``device/<name>`` and return fn's result."""
+        """Run ``fn(*args)`` twice — a warmup (traces + compiles) and a
+        timed re-run — block until the device finishes each, record the
+        re-run wall time as ``device/<name>`` (and the first call as
+        ``device/<name>+compile``), and return the result.
+
+        The re-run uses identical inputs; on a remote-TPU tunnel that
+        caches repeated requests the re-run time can read as low as the
+        dispatch floor — compare against ``dispatch-floor`` when
+        interpreting (BENCH.md round 3)."""
         import jax
 
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        out = jax.block_until_ready(fn(*args, **kwargs))
+        dt_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args, **kwargs))
         dt = time.perf_counter() - t0
+        self.times[f"device/{name}+compile"] = (
+            self.times.get(f"device/{name}+compile", 0.0) + dt_first
+        )
         key = f"device/{name}"
         self.times[key] = self.times.get(key, 0.0) + dt
         if self.enabled:
-            print(f"[device-phase] {name:<24s} {dt*1e3:10.2f} ms", flush=True)
+            print(f"[device-phase] {name:<24s} {dt*1e3:10.2f} ms "
+                  f"(first call incl. compile: {dt_first*1e3:.2f} ms)",
+                  flush=True)
         return out
 
     def dispatch_floor(self) -> float:

@@ -476,6 +476,24 @@ class TestDevicePhases:
         assert "image max:" in r.stdout
 
 
+class TestIDGStagedParity:
+    def test_staged_fov_pad_matches_pipeline(self, dataset, imaging_config):
+        """--device-phases must not change the image: the staged IDG path
+        honors fov_pad exactly like the fused pipeline (review r3)."""
+        paths, obs = dataset
+        mx_p, img_p = ds.idg_gridding(
+            paths["vis"], config=imaging_config, fov_pad=0.75
+        )
+        mx_s, img_s = ds.idg_gridding(
+            paths["vis"], config=imaging_config, fov_pad=0.75,
+            device_phases=True,
+        )
+        assert img_s.shape == img_p.shape
+        scale = np.abs(img_p).max()
+        np.testing.assert_allclose(img_s, img_p, atol=1e-10 * scale)
+        assert abs(mx_s - mx_p) < 1e-10 * scale
+
+
 class TestDumpIntermediates:
     def test_debug_dump_tree(self, tmp_path):
         """--dump-intermediates writes the uv-grid planes + image (the
