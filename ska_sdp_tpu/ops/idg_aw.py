@@ -1,0 +1,288 @@
+"""Image-domain AW-projection gridding (IDG-AW): A-screens on subgrids.
+
+The original selling point of IDG (van der Tol et al. 2018 — method only;
+this realization is original TPU-first engineering): direction-dependent
+antenna terms are applied as IMAGE-domain multiplications on per-chunk
+subgrids instead of per-visibility uv convolutions.  Where the reference
+convolves ``conj(A1 ⊛ A2 ⊛ W)`` per visibility inside a sequential device
+loop (``/root/reference/src/Gridding.hs:318-396,452-478``), IDG-AW:
+
+1. groups visibilities into CHUNKS that share one antenna pair — the
+   natural layout of interferometer data (baseline-major, time/channel
+   within; one stable sort per dataset),
+2. accumulates each chunk onto a small subgrid image via the same
+   rank-1-phase MXU matmuls as plain IDG (``ops/idg.py``),
+3. multiplies the chunk's subgrid image ONCE by
+   ``conj(A1(l,m)) · conj(A2(l,m))`` — the per-pair A-screen — plus the
+   Kaiser taper, with the w screen applied per record (continuous w,
+   Fresnel-separable, like plain IDG),
+4. DFT-sandwiches the subgrid to uv and overlap-adds it at the chunk's
+   own uv origin.
+
+Because the A-screen cost is ONE S×S complex multiply per chunk (~128-256
+visibilities), IDG-AW runs at essentially plain-IDG throughput — versus
+the spectral-convolution path's per-visibility m×m sandwich matmuls.
+
+**Chunk geometry.**  Unlike plain IDG's fixed subgrid tiling, each chunk
+gets a subgrid at its OWN origin (the chunk's uv midrange), because chunk
+membership is dictated by the antenna pair, not by uv locality.  A chunk
+therefore only accumulates records whose support fits inside its subgrid
+(``fit_margin``); non-fitting records are DROPPED AND COUNTED — the
+returned drop count is part of the contract, and callers/tests assert it
+is zero for track-like data (a chunk of consecutive time/channel samples
+of one baseline spans a few uv cells).  Random-uv data is NOT the use
+case — the fused spectral path (``kernels/aw_fused_pallas``) covers it.
+
+Accuracy: the A-screen product equals the UNtruncated (a1⊛a2)⊛w
+convolution — the reference truncates to s pixels both between and after
+its convolutions (``convolve2d``, Gridding.hs:795-811), so for A-kernels
+with significant off-center taps the two operators genuinely differ
+(measured in ``tests/test_idg.py``: full-stamp 1%-noise akerns diverge
+~0.4 through the reference's truncation alone; compact perturbations
+agree to ~8e-5).  IDG-AW is the more faithful operator; w placement is
+exact continuous-w.  Verified against the reference-semantics bank path
+with ``tapered_w_bank`` and against a direct-DFT screen truth in
+``tests/test_idg.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .idg import _dft_matrix, kaiser_taper
+
+# Default record chunk (contraction depth of the accumulation matmuls).
+CHUNK_AW = 128
+
+
+def aw_screens(akerns, S: int, dtype=jnp.complex64):
+    """Image-domain antenna screens on the S-point subgrid image grid.
+
+    ``akerns``: [nant, s, s] uv-domain A-kernel stamps (integer-cell taps,
+    the dataset layout the bank path consumes).  Returns [nant, S, S]
+    screens a(l_q, m_r) = Σ_{j,i} ak[j,i]·e^{-2πi[(j-s/2)(q-S/2)+(i-s/2)(r-S/2)]/S}
+    — the centered synthesis transform matching ``ifft_centered``'s
+    analysis convention, so a delta stamp gives the unit screen.
+
+    Row/col orientation follows the bank kernels: axis -2 = y (m), -1 = x
+    (l).  The GRIDDING screen is ``conj(a1)·conj(a2)`` (the bank path
+    grids with ``conj(A1 ⊛ A2 ⊛ W)``, Gridding.hs:294,392).
+    """
+    s = akerns.shape[-1]
+    ftype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    j = jnp.arange(s, dtype=ftype) - s // 2
+    q = jnp.arange(S, dtype=ftype) - S // 2
+    E = jnp.exp(-2j * jnp.pi / S * jnp.outer(q, j).astype(ftype)
+                ).astype(dtype)
+    return jnp.einsum("qj,ajk,rk->aqr", E, akerns.astype(dtype), E)
+
+
+def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
+                     chunk: int, support: int, max_runs: int,
+                     fit_margin: int):
+    """Pair-run chunking: stable-sort by pair, pad runs to whole chunks,
+    pick each chunk's subgrid origin, and mask non-fitting records.
+
+    Returns (dy, dx, wv, vv [n_chunks, chunk], y0, x0, ia1, ia2
+    [n_chunks], n_dropped, geometry (S, PADM, HP, WP, n_chunks)).
+
+    ``n_dropped`` counts in-bounds records that could not be gridded:
+    chunk-fit failures (uv spread beyond ``fit_margin``) plus pair-run
+    overflow past ``max_runs`` — zero for track-like layouts.
+    """
+    N, Nx = grid_shape
+    S = subgrid
+    s = support
+    PADM = S
+    HP, WP = N + 2 * PADM, Nx + 2 * PADM
+    n = p.shape[0]
+    rdt = jnp.float64 if vis.dtype == jnp.complex128 else jnp.float32
+
+    # continuous padded-grid positions + the usual support-OOB validity
+    ycf = (N // 2 + p[:, 1] * N + PADM).astype(rdt)
+    xcf = (Nx // 2 + p[:, 0] * Nx + PADM).astype(rdt)
+    yc = jnp.floor(ycf - PADM + 0.5).astype(jnp.int32)
+    xc = jnp.floor(xcf - PADM + 0.5).astype(jnp.int32)
+    y0s = yc - s // 2
+    x0s = xc - s // 2
+    valid = (y0s > -s) & (y0s < N) & (x0s > -s) & (x0s < Nx)
+
+    # one stable sort by pair key (time/channel order preserved per pair)
+    key = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
+                    + a2.astype(jnp.int32), jnp.int32(2**30))
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    ycf_s = ycf[order]
+    xcf_s = xcf[order]
+    w_s = w[order].astype(rdt)
+    vis_s = jnp.where(valid, vis, 0)[order]
+    a1_s = a1[order].astype(jnp.int32)
+    a2_s = a2[order].astype(jnp.int32)
+
+    # run boundaries -> run ids -> per-run counts -> chunk-padded starts
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (key_s[1:] != key_s[:-1]).astype(jnp.int32)]
+    )
+    run_id = jnp.cumsum(new_run) - 1                     # [n]
+    overflow = run_id >= max_runs
+    run_id_c = jnp.minimum(run_id, max_runs - 1)
+    counts = jnp.zeros((max_runs,), jnp.int32).at[run_id_c].add(
+        (~overflow).astype(jnp.int32))
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    counts_pad = ((counts + chunk - 1) // chunk) * chunk
+    starts_pad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_pad).astype(jnp.int32)]
+    )
+    n_chunks = n // chunk + max_runs + 1
+    n_pad = n_chunks * chunk
+
+    from .idg import _spread_i32
+
+    j = jnp.arange(n_pad, dtype=jnp.int32)
+    starts_pad_j = _spread_i32(starts_pad[:-1], starts_pad[:-1], n_pad)
+    starts_j = _spread_i32(starts[:-1], starts_pad[:-1], n_pad)
+    counts_j = _spread_i32(counts, starts_pad[:-1], n_pad)
+    local = j - starts_pad_j
+    ok = local < counts_j
+    src = jnp.where(ok, starts_j + local, 0)
+
+    big = jnp.asarray(4.0 * (N + Nx), rdt)
+    yv = ycf_s[src]
+    xv = xcf_s[src]
+    y_min = jnp.min(jnp.where(ok, yv, big).reshape(n_chunks, chunk), axis=1)
+    y_max = jnp.max(jnp.where(ok, yv, -big).reshape(n_chunks, chunk), axis=1)
+    x_min = jnp.min(jnp.where(ok, xv, big).reshape(n_chunks, chunk), axis=1)
+    x_max = jnp.max(jnp.where(ok, xv, -big).reshape(n_chunks, chunk), axis=1)
+    any_ok = jnp.any(ok.reshape(n_chunks, chunk), axis=1)
+    y0 = jnp.where(any_ok,
+                   jnp.round((y_min + y_max) * 0.5).astype(jnp.int32) - S // 2,
+                   0)
+    x0 = jnp.where(any_ok,
+                   jnp.round((x_min + x_max) * 0.5).astype(jnp.int32) - S // 2,
+                   0)
+    y0 = jnp.clip(y0, 0, HP - S)
+    x0 = jnp.clip(x0, 0, WP - S)
+
+    dy = yv.reshape(n_chunks, chunk) - (y0[:, None].astype(rdt) + S // 2)
+    dx = xv.reshape(n_chunks, chunk) - (x0[:, None].astype(rdt) + S // 2)
+    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
+
+    # chunk pair ids: first padded slot of every chunk is a real record
+    # whenever the chunk has any (run-padding appends at run tails)
+    first = src.reshape(n_chunks, chunk)[:, 0]
+    ia1 = a1_s[first]
+    ia2 = a2_s[first]
+    pair_match = (a1_s[src].reshape(n_chunks, chunk) == ia1[:, None]) & \
+                 (a2_s[src].reshape(n_chunks, chunk) == ia2[:, None])
+
+    ok2 = ok.reshape(n_chunks, chunk) & fit & pair_match
+    vv = (vis_s[src].reshape(n_chunks, chunk)
+          * ok2.astype(vis.dtype))
+    wv = w_s[src].reshape(n_chunks, chunk)
+    n_dropped = (jnp.sum(ok.reshape(n_chunks, chunk) & ~ok2)
+                 + jnp.sum(overflow))
+    geom = (S, PADM, HP, WP, n_chunks)
+    return dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "theta", "subgrid",
+                                   "chunk", "batch", "support",
+                                   "taper_beta", "max_runs", "fit_margin"))
+def idg_grid_aw(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
+                subgrid: int = 64, chunk: int = CHUNK_AW,
+                batch: int = 64, support: int = 15,
+                taper_beta: float = 12.0, max_runs: int = 4096,
+                fit_margin: int = 0):
+    """AW-projection gridding via image-domain pair screens (XLA path).
+
+    Drop-in for ``convgrid_aw``'s role (same downstream pipeline as
+    ``idg_grid_wproj``: hermitian + ifft + ``taper_fine`` division).
+
+    Args:
+      grid_shape: (H, W) static.
+      p: [n, 3] scaled baselines (uvw/lam).
+      a1, a2: [n] int antenna(-slot) indices into ``screens``.
+      w: [n] w in wavelengths.
+      vis: [n] complex visibilities (weights folded in).
+      screens: [nant, S, S] image screens from :func:`aw_screens` —
+        UNconjugated; the conjugated pair product is applied here.
+      theta: H-axis field of view.
+      subgrid, chunk, batch, support, taper_beta: as ``idg_grid_wproj``.
+      max_runs: static bound on distinct (pair) runs (≥ number of
+        baselines × A-term slots; overflow records are dropped+counted).
+      fit_margin: max |uv offset| (cells) from the chunk's subgrid center
+        (0 → auto: S/2 - support/2 - 12, the taper-tail margin measured
+        in ``tests/test_idg.py``).
+
+    Returns (guv [H, W], n_dropped).
+    """
+    cdt = vis.dtype
+    S = subgrid
+    if fit_margin == 0:
+        fit_margin = S // 2 - support // 2 - 12
+    assert fit_margin > 0, "subgrid too small for support + taper margin"
+    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom = _chunk_pair_runs(
+        grid_shape, p, a1, a2, w, vis, subgrid=S, chunk=chunk,
+        support=support, max_runs=max_runs, fit_margin=fit_margin,
+    )
+    S, PADM, HP, WP, n_chunks = geom
+    N, Nx = grid_shape
+
+    ftype = jnp.float64 if cdt == jnp.complex128 else jnp.float32
+    q = jnp.arange(S, dtype=ftype) - S // 2
+    theta_x = theta * Nx / N
+    lq2y = (q * (theta / S)) ** 2
+    lq2x = (q * (theta_x / S)) ** 2
+    F = _dft_matrix(S, cdt)
+    t1 = kaiser_taper(S, taper_beta, ftype) if taper_beta > 0 else \
+        jnp.ones((S,), ftype)
+    scr = jnp.conj(screens).astype(cdt)                  # [nant, S, S]
+
+    def scan_body(gp, args):
+        dy_b, dx_b, w_b, v_b, y0_b, x0_b, a1_b, a2_b = args
+        ph_y = (2.0 * jnp.pi / S) * dy_b[..., None] * q[None, None, :] \
+            - jnp.pi * w_b[..., None] * lq2y[None, None, :]
+        ph_x = (2.0 * jnp.pi / S) * dx_b[..., None] * q[None, None, :] \
+            - jnp.pi * w_b[..., None] * lq2x[None, None, :]
+        Ey = jnp.exp(1j * ph_y).astype(cdt)
+        Ex = jnp.exp(1j * ph_x).astype(cdt)
+        a = jnp.einsum("cbq,cbr->cqr", Ey * v_b[..., None], Ex,
+                       preferred_element_type=cdt,
+                       precision=jax.lax.Precision.HIGHEST) / (S * S)
+        a = a * (scr[a1_b] * scr[a2_b])                  # pair A-screen
+        a = a * (t1[None, :, None] * t1[None, None, :]).astype(cdt)
+        patches = jnp.einsum("yq,cqr,xr->cyx", F, a, F,
+                             preferred_element_type=cdt,
+                             precision=jax.lax.Precision.HIGHEST)
+
+        def fold_one(i, gp):
+            win = jax.lax.dynamic_slice(
+                gp, (y0_b[i], x0_b[i]), (S, S))
+            return jax.lax.dynamic_update_slice(
+                gp, win + patches[i], (y0_b[i], x0_b[i]))
+
+        return jax.lax.fori_loop(0, y0_b.shape[0], fold_one, gp), None
+
+    nb = -(-n_chunks // batch)
+    pad_c = nb * batch - n_chunks
+
+    def pad2(x):
+        return jnp.pad(x, ((0, pad_c), (0, 0))).reshape(
+            nb, batch, x.shape[1])
+
+    def pad1(x):
+        return jnp.pad(x, (0, pad_c)).reshape(nb, batch)
+
+    args = (pad2(dy), pad2(dx), pad2(wv), pad2(vv),
+            pad1(y0), pad1(x0), pad1(ia1), pad1(ia2))
+    gp = jnp.zeros((HP, WP), cdt)
+    gp, _ = jax.lax.scan(scan_body, gp, args)
+    return gp[PADM:PADM + N, PADM:PADM + Nx], n_dropped

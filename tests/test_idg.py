@@ -511,3 +511,205 @@ class TestIDGDegridPallasMultiBlock:
         d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
             np.linalg.norm(np.asarray(want))
         assert d < 1e-5, d
+
+
+# ---------------------------------------------------------------------------
+# IDG-AW: image-domain antenna screens (ops/idg_aw.py)
+# ---------------------------------------------------------------------------
+
+SA = 64          # AW subgrids need taper + fit margin beyond the support
+
+
+def _track_problem(rng, nant=6, ntime=96, nchan=4, wmax=WMAX):
+    """Baseline-track data: per-pair smooth uv drift, time-major interleaved
+    across baselines with channels inner — the real interferometer layout
+    IDG-AW's pair-chunking is designed for."""
+    pairs = [(i, j) for i in range(nant) for j in range(i + 1, nant)]
+    nbl = len(pairs)
+    u0 = rng.uniform(-0.30, 0.30, (nbl, 2))
+    du = rng.uniform(-15.0 / N, 15.0 / N, (nbl, 2))
+    w0 = rng.uniform(-wmax, wmax, nbl)
+    dw = rng.uniform(-20.0, 20.0, nbl)
+    fscale = 1.0 + 0.002 * np.arange(nchan)
+
+    rows = []
+    for t in range(ntime):
+        ft = t / ntime
+        for b, (i, j) in enumerate(pairs):
+            uv = u0[b] + du[b] * ft
+            for c in range(nchan):
+                rows.append((uv[0] * fscale[c], uv[1] * fscale[c],
+                             w0[b] + dw[b] * ft, i, j))
+    arr = np.asarray(rows)
+    n = arr.shape[0]
+    p = np.zeros((n, 3))
+    p[:, :2] = arr[:, :2]
+    w = arr[:, 2]
+    a1 = arr[:, 3].astype(np.int32)
+    a2 = arr[:, 4].astype(np.int32)
+    vis = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    return p, w, a1, a2, vis, nbl
+
+
+def _screen_truth_image(p, w, a1, a2, vis, screens_fine):
+    """Direct-DFT truth with per-record conj(A1)·conj(A2) fine screens."""
+    xf = (np.arange(N) - N // 2) / N
+    l = xf * THETA
+    L, M = np.meshgrid(l, l, indexing="xy")
+    n_lm = 1.0 - np.sqrt(1.0 - L**2 - M**2)
+    img = np.zeros((N, N), np.complex128)
+    for i in range(p.shape[0]):
+        ey = np.exp(2j * np.pi * p[i, 1] * N * xf)
+        ex = np.exp(2j * np.pi * p[i, 0] * N * xf)
+        scr = np.conj(screens_fine[a1[i]]) * np.conj(screens_fine[a2[i]])
+        img += (vis[i] * scr * np.outer(ey, ex)
+                * np.exp(-2j * np.pi * w[i] * n_lm))
+    return img / (N * N)
+
+
+def _fine_screens(ak):
+    """Per-antenna screens on the FULL N-point fine image grid (the
+    independent evaluation of what aw_screens samples at S points)."""
+    s = ak.shape[-1]
+    j = np.arange(s) - s // 2
+    xf = (np.arange(N) - N // 2) / N           # l/theta in [-1/2, 1/2)
+    E = np.exp(-2j * np.pi * np.outer(xf, j))
+    return np.einsum("qj,ajk,rk->aqr", E, ak, E)
+
+
+class TestIDGAW:
+    def test_delta_screens_are_unit(self):
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        s = 15
+        ak = np.zeros((3, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = np.asarray(aw_screens(jnp.asarray(ak), SA,
+                                    dtype=jnp.complex128))
+        np.testing.assert_allclose(scr, np.ones_like(scr), atol=1e-12)
+
+    def test_matches_direct_truth_with_screens(self, rng):
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng)
+        s = 15
+        nant = int(max(a1.max(), a2.max())) + 1
+        ak = np.zeros((nant, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        ak += 0.3 * (rng.standard_normal((nant, s, s))
+                     + 1j * rng.standard_normal((nant, s, s)))
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128)
+        g, nd = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=2 * nbl,
+        )
+        assert int(nd) == 0
+        img = _corrected_image(np.asarray(g), S=SA)
+        truth = _screen_truth_image(p, w, a1, a2, vis, _fine_screens(ak))
+        assert _rel(img, truth) < 3e-4
+
+    def test_matches_bank_aw_scatter(self, rng):
+        """Parity vs the reference-semantics spectral-convolution AW path
+        on the tapered bank (cf. TestIDGAccuracy's w-only analog).
+
+        A-perturbations are confined to the akerns' central 3x3 taps: the
+        reference TRUNCATES aw = (a1 (*) a2) (*) w back to s pixels
+        (``convolve2d``, Gridding.hs:795-811), so broad A-tails convolved
+        with the 15-tap w-kernel fall outside the window — IDG-AW applies
+        the UNtruncated operator (measured: full-stamp 1%-noise akerns
+        diverge ~0.4 through truncation alone; central-3x3 noise ~8e-5)."""
+        from ska_sdp_tpu.ops.gridding import convgrid_aw
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng)
+        p[:, :2] = np.round(p[:, :2] * (8 * N)) / (8 * N)    # snap lattice
+        s = 15
+        nant = int(max(a1.max(), a2.max())) + 1
+        ak = np.zeros((nant, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 1:c + 2, c - 1:c + 2] += 0.05 * (
+            rng.standard_normal((nant, 3, 3))
+            + 1j * rng.standard_normal((nant, 3, 3)))
+        opts = KernelOptions(qpx=8, npix_ff=256, npix_kern=s)
+        centers = np.linspace(-WMAX, WMAX, NW)
+        wbin = find_closest(jnp.asarray(centers), jnp.asarray(w))
+        w_b = centers[np.asarray(wbin)]
+
+        bank_t = tapered_w_bank(
+            THETA, jnp.asarray(centers), opts, BETA, SA,
+            dtype=jnp.float64,
+        ).astype(jnp.complex128)
+        g_ex = convgrid_aw(
+            jnp.conj(bank_t), jnp.asarray(ak),
+            jnp.zeros((N, N), jnp.complex128), jnp.asarray(p), wbin,
+            jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(vis), chunk=256,
+        )
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128)
+        g_idg, nd = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w_b), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=2 * nbl,
+        )
+        assert int(nd) == 0
+        assert _rel(_corrected_image(np.asarray(g_idg), S=SA),
+                    _corrected_image(np.asarray(g_ex), S=SA)) < 3e-4
+
+    def test_interleaving_invariance(self, rng):
+        """Chunking is by pair, not input order: the time-major interleaved
+        layout (as generated) and an explicitly pair-major layout produce
+        the SAME chunks after the op's stable sort, hence bit-identical
+        grids.  (An arbitrary permutation would NOT be bit-identical: it
+        reshuffles chunk membership, shifting subgrid origins and hence
+        the ~1e-5-class aliasing term — measured, expected.)"""
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=4, ntime=48)
+        s = 15
+        nant = 4
+        ak = np.zeros((nant, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        ak += 0.1 * rng.standard_normal((nant, s, s))
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128)
+
+        def run(idx):
+            g, nd = idg_grid_aw(
+                (N, N), jnp.asarray(p[idx]), jnp.asarray(a1[idx]),
+                jnp.asarray(a2[idx]), jnp.asarray(w[idx]),
+                jnp.asarray(vis[idx]), scr, theta=THETA, subgrid=SA,
+                max_runs=2 * nbl,
+            )
+            return np.asarray(g), int(nd)
+
+        ident = np.arange(p.shape[0])
+        pair_major = np.argsort(a1.astype(np.int64) * 64 + a2,
+                                kind="stable")
+        g0, nd0 = run(ident)
+        g1, nd1 = run(pair_major)
+        assert nd0 == nd1 == 0
+        np.testing.assert_allclose(g1, g0, atol=1e-12 * np.abs(g0).max())
+
+    def test_nonfitting_records_dropped_and_counted(self, rng):
+        """One pair with uv scattered across the whole grid: chunks cannot
+        cover the spread; drops are COUNTED (the op's honesty contract)."""
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        b = 400
+        p = np.zeros((b, 3))
+        p[:, :2] = rng.uniform(-0.42, 0.42, (b, 2))
+        w = rng.uniform(-WMAX, WMAX, b)
+        vis = rng.standard_normal(b) + 1j * rng.standard_normal(b)
+        a1 = np.zeros(b, np.int32)
+        a2 = np.ones(b, np.int32)
+        s = 15
+        ak = np.zeros((2, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128)
+        g, nd = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=8,
+        )
+        assert int(nd) > 0
+        assert np.all(np.isfinite(np.asarray(g)))
