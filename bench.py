@@ -270,6 +270,58 @@ def main() -> None:
 
     idg_acc = _best_effort("idg_accuracy", _idg_accuracy)
 
+    # 3e. IDG-AW (image-domain A-screens on pair-chunked subgrids): the
+    # same AW workload on BASELINE-TRACK data — the layout real
+    # interferometer data arrives in and the one IDG-AW's pair-chunking
+    # is designed for (random-uv AW is metric 3's fused kernel's job)
+    def _idg_aw():
+        from ska_sdp_tpu.kernels import idg_aw_gridder
+        from ska_sdp_tpu.ops.idg_aw import aw_screens_host
+
+        rngT = np.random.default_rng(11)
+        ii, jj = np.triu_indices(NANT, k=1)
+        nbl = ii.shape[0]
+        ntime, nchan = 65, 8                     # nbl*65*8 = 1.048M records
+        u0 = rngT.uniform(-0.40, 0.40, (nbl, 2))
+        du = rngT.uniform(-30.0 / n_grid, 30.0 / n_grid, (nbl, 2))
+        w0 = rngT.uniform(-3800.0, 3800.0, nbl)
+        dw = rngT.uniform(-100.0, 100.0, nbl)
+        ft = (np.arange(ntime) / ntime)[:, None, None]
+        fs = (1.0 + 0.0005 * np.arange(nchan))[None, None, :]
+        ut = (u0[None, :, 0:1] + du[None, :, 0:1] * ft) * fs
+        vt = (u0[None, :, 1:2] + du[None, :, 1:2] * ft) * fs
+        wt = (w0[None, :, None] + dw[None, :, None] * ft) * np.ones_like(fs)
+        nT = ut.size
+        pT = np.zeros((nT, 3), np.float32)
+        pT[:, 0] = ut.ravel()
+        pT[:, 1] = vt.ravel()
+        a1T = np.broadcast_to(ii[None, :, None], ut.shape).ravel()
+        a2T = np.broadcast_to(jj[None, :, None], ut.shape).ravel()
+        scr = aw_screens_host(np.asarray(ak_re) + 1j * np.asarray(ak_im), 64)
+        max_runs = 2 * nbl + 64
+
+        @jax.jit
+        def aw_idg_step(p_j, w_j, a1_j, a2_j, sre, sim, vr, vi, salt):
+            guv, nd = idg_aw_gridder(
+                (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                jax.lax.complex(vr, vi + salt), jax.lax.complex(sre, sim),
+                theta=THETA, max_runs=max_runs,
+            )
+            return (jnp.sum(jnp.abs(jnp.real(guv)))
+                    + jnp.sum(jnp.abs(jnp.imag(guv))) + 0.0 * nd)
+
+        argsT = (
+            jnp.asarray(pT), jnp.asarray(wt.ravel(), jnp.float32),
+            jnp.asarray(a1T, jnp.int32), jnp.asarray(a2T, jnp.int32),
+            jnp.asarray(scr.real, jnp.float32),
+            jnp.asarray(scr.imag, jnp.float32),
+            jnp.asarray(rng.standard_normal(nT).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(nT).astype(np.float32)),
+        )
+        return _rate(aw_idg_step, argsT, nT, k=3)
+
+    aw_idg_rate = _best_effort("aw_idg", _idg_aw)
+
     # 4. full imaging step: scatter + hermitian + centered iFFT
     @jax.jit
     def full_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
@@ -353,6 +405,11 @@ def main() -> None:
                     {
                         "metric": "IDG degridding / predict (exact continuous-w adjoint)",
                         "value": round(idg_degrid_rate, 1),
+                        "unit": "vis/s",
+                    },
+                    {
+                        "metric": "IDG-AW (image-domain A-screens, pair-chunked subgrids, baseline-track layout, 64 ants)",
+                        "value": round(aw_idg_rate, 1),
                         "unit": "vis/s",
                     },
                     {

@@ -211,6 +211,43 @@ def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
     )
 
 
+def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
+                   subgrid: int = 64, support: int = 15,
+                   taper_beta: float = 12.0, max_runs: int = 4096,
+                   fit_margin: int = 0):
+    """IDG-AW dispatch: image-domain antenna screens on pair-chunked
+    subgrids (``ops/idg_aw.py`` documents the method + honesty contract).
+
+    TPU: the resident-grid Pallas kernel (``kernels/idg_aw_pallas``) when
+    the padded grid + screens fit VMEM; elsewhere / oversized: the XLA
+    realization (also the oracle).  Returns (guv, n_dropped) — callers
+    must surface ``n_dropped`` (records whose chunk could not cover their
+    uv spread; zero for track-like data).
+    """
+    from ..ops.idg_aw import idg_grid_aw
+
+    if _resolved_impl() == "pallas":
+        try:
+            from .idg_aw_pallas import (idg_aw_gridder_pallas,
+                                        idg_aw_resident_fits)
+
+            fits = idg_aw_resident_fits(grid_shape[0], grid_shape[1],
+                                        screens.shape[0], subgrid)
+        except ImportError:
+            fits = False
+        if fits:
+            return idg_aw_gridder_pallas(
+                grid_shape, p, a1, a2, w, vis, screens, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=max_runs, fit_margin=fit_margin,
+            )
+    return idg_grid_aw(
+        grid_shape, p, a1, a2, w, vis, screens, theta=theta,
+        subgrid=subgrid, support=support, taper_beta=taper_beta,
+        max_runs=max_runs, fit_margin=fit_margin,
+    )
+
+
 # VMEM byte budget for the fused-AW kernel's resident spectral tables.  The
 # kernel itself is compiled with vmem_limit_bytes=100MB; accumulators,
 # record staging and pipeline double-buffers need the rest, so tables get

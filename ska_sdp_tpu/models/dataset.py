@@ -217,6 +217,37 @@ def _wproj_pipeline(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk):
     return img, jnp.max(img)
 
 
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "subgrid", "taper_beta",
+                          "max_runs"))
+def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
+                     subgrid=64, taper_beta=12.0, max_runs=4096):
+    """IDG-AW device program: image-domain A-screens on pair-chunked
+    subgrids (``ops/idg_aw.py``) — continuous w, no w-kernel bank.
+
+    Returns (img, img max, n_dropped): ``n_dropped`` is the IDG-AW
+    honesty count (in-bounds records whose chunk could not cover their
+    uv spread — zero for track-like layouts; the caller must surface it).
+    """
+    from ..kernels import idg_aw_gridder
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    uvw0 = uvw_lambda(f, uvw)
+    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
+    uvw1, vis1 = mirror_uvw(uvw0, vis)
+    n_grid = int(round(theta * lam))
+    guv, nd = idg_aw_gridder(
+        (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2], wt * vis1,
+        screens, theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        max_runs=max_runs,
+    )
+    img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
+    tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
+                    ).astype(img.dtype)
+    img = img / (tf[:, None] * tf[None, :])
+    return img, jnp.max(img), nd
+
+
 def aw_gridding(
     wfile: str,
     afile: str,
@@ -226,12 +257,17 @@ def aw_gridding(
     old: bool = False,
     config: ImagingConfig = ImagingConfig(),
     timer: Optional[PhaseTimer] = None,
+    idg: bool = False,
 ):
     """Full AW-projection imaging run (reference ``aw_gridding``,
     ``ImageDataset.hs:29-83``).  Returns (image max, image ndarray).
 
     ``old`` selects the reference's convgrid3 scheduling variant; our batched
     gridder is numerically identical for both, so it only changes logging.
+    ``idg=True`` selects the IDG-AW mode (image-domain A-screens on
+    pair-chunked subgrids, ``ops/idg_aw.py``): ~4x the fused spectral
+    path's throughput on baseline-track data, exact continuous-w, needs
+    no w-kernel file; chunking drops are surfaced as a warning.
     """
     timer = timer or PhaseTimer()
     prec = config.precision
@@ -241,29 +277,65 @@ def aw_gridding(
         data = load_vis_data(datfile)
     with timer.phase("ingest/akern"):
         akerns = get_akernels(afile, theta, float(data.time[0]), data.frequency)
-    with timer.phase("ingest/wkern"):
-        wkerns, wbins = get_wkernels(wfile, theta)
+    if not idg:
+        with timer.phase("ingest/wkern"):
+            wkerns, wbins = get_wkernels(wfile, theta)
 
     n = n if n is not None else data.vis.shape[0]
-    with timer.phase("h2d+compile+grid+fft"):
-        # complex data stays numpy until the complex-safe jit boundary
-        img, mx = _aw_pipeline(
-            np.asarray(wkerns, prec.np_complex),
-            np.asarray(wbins, prec.np_real),
-            np.asarray(akerns, prec.np_complex),
-            np.asarray(data.uvw[:n], prec.np_real),
-            np.asarray(data.antenna1[:n], np.int32),
-            np.asarray(data.antenna2[:n], np.int32),
-            np.asarray(data.time[:n], prec.np_real),
-            np.asarray(data.frequency, prec.np_real),
-            np.asarray(data.vis[:n], prec.np_complex),
-            theta=theta,
-            lam=lam,
-            chunk=min(8192, max(256, n)),
-            slab=config.aw_slab,
-        )
-        img = np.asarray(img)
-        mx = float(mx)
+    if idg:
+        from ..ops.idg_aw import aw_screens_host
+
+        a1 = np.asarray(data.antenna1[:n], np.int64)
+        a2 = np.asarray(data.antenna2[:n], np.int64)
+        npair = len(np.unique(a1 * (int(a1.max(initial=0)) + 2) + a2))
+        # run bound: each pair's track splits at coarse-uv-tile crossings
+        # (a handful per pair for smooth tracks); overflow is counted and
+        # warned, so a generous static bound costs only skipped chunks
+        max_runs = 8 * npair + n // 128 + 64
+        with timer.phase("h2d+compile+grid+fft"):
+            screens = aw_screens_host(
+                np.asarray(akerns, prec.np_complex), 64
+            ).astype(prec.np_complex)
+            img, mx, nd = _aw_idg_pipeline(
+                screens,
+                np.asarray(data.uvw[:n], prec.np_real),
+                a1.astype(np.int32), a2.astype(np.int32),
+                np.asarray(data.frequency, prec.np_real),
+                np.asarray(data.vis[:n], prec.np_complex),
+                theta=theta, lam=lam, max_runs=max_runs,
+            )
+            img = np.asarray(img)
+            mx = float(mx)
+            nd = int(nd)
+        if nd > 0:
+            import sys
+
+            print(f"warning: IDG-AW dropped {nd}/{n} visibilities "
+                  f"({100.0 * nd / max(n, 1):.2f}%) whose uv spread "
+                  "exceeded their pair-chunk's subgrid — the data is not "
+                  "track-ordered enough for IDG-AW; use the fused AW mode",
+                  file=sys.stderr)
+        timer.times["idg_aw/dropped"] = float(nd)
+    else:
+        with timer.phase("h2d+compile+grid+fft"):
+            # complex data stays numpy until the complex-safe jit boundary
+            img, mx = _aw_pipeline(
+                np.asarray(wkerns, prec.np_complex),
+                np.asarray(wbins, prec.np_real),
+                np.asarray(akerns, prec.np_complex),
+                np.asarray(data.uvw[:n], prec.np_real),
+                np.asarray(data.antenna1[:n], np.int32),
+                np.asarray(data.antenna2[:n], np.int32),
+                np.asarray(data.time[:n], prec.np_real),
+                np.asarray(data.frequency, prec.np_real),
+                np.asarray(data.vis[:n], prec.np_complex),
+                theta=theta,
+                lam=lam,
+                chunk=min(8192, max(256, n)),
+                slab=config.aw_slab,
+            )
+            img = np.asarray(img)
+            mx = float(mx)
 
     if outfile is not None:
         with timer.phase("write/img"):

@@ -81,18 +81,37 @@ def aw_screens(akerns, S: int, dtype=jnp.complex64):
     return jnp.einsum("qj,ajk,rk->aqr", E, akerns.astype(dtype), E)
 
 
+def aw_screens_host(akerns, S: int) -> "np.ndarray":
+    """Host-side numpy twin of :func:`aw_screens` — model drivers build
+    screens BEFORE the jit boundary because the axon TPU PJRT path cannot
+    transfer complex dtypes eagerly (``utils/cplx.py``); the complex
+    screens then cross as (re, im) planes via ``complex_safe_jit``."""
+    ak = np.asarray(akerns)
+    s = ak.shape[-1]
+    j = np.arange(s) - s // 2
+    q = np.arange(S) - S // 2
+    E = np.exp(-2j * np.pi / S * np.outer(q, j))
+    return np.einsum("qj,ajk,rk->aqr", E, ak, E)
+
+
 def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
                      chunk: int, support: int, max_runs: int,
                      fit_margin: int):
-    """Pair-run chunking: stable-sort by pair, pad runs to whole chunks,
+    """(pair, uv-tile)-run chunking: group records by antenna pair AND a
+    coarse uv tile of side ``2·fit_margin - 2``, pad runs to whole chunks,
     pick each chunk's subgrid origin, and mask non-fitting records.
+
+    The tile split bounds every chunk's uv spread BY CONSTRUCTION (a
+    smooth track simply splits at tile crossings — a few extra runs), so
+    the fit test is a safety net, not the normal drop path.  Two stable
+    sorts (tile, then pair) preserve time/channel order within a group.
 
     Returns (dy, dx, wv, vv [n_chunks, chunk], y0, x0, ia1, ia2
     [n_chunks], n_dropped, geometry (S, PADM, HP, WP, n_chunks)).
 
     ``n_dropped`` counts in-bounds records that could not be gridded:
-    chunk-fit failures (uv spread beyond ``fit_margin``) plus pair-run
-    overflow past ``max_runs`` — zero for track-like layouts.
+    run overflow past ``max_runs`` plus residual fit failures — zero when
+    ``max_runs`` covers the data's (pair, tile) run count.
     """
     N, Nx = grid_shape
     S = subgrid
@@ -111,11 +130,22 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     x0s = xc - s // 2
     valid = (y0s > -s) & (y0s < N) & (x0s > -s) & (x0s < Nx)
 
-    # one stable sort by pair key (time/channel order preserved per pair)
-    key = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
-                    + a2.astype(jnp.int32), jnp.int32(2**30))
-    order = jnp.argsort(key, stable=True)
-    key_s = key[order]
+    # coarse uv tile: chunks confined to one tile have spread < 2·margin
+    Tc = max(2 * fit_margin - 2, 8)
+    ty = jnp.clip(ycf, 0, HP - 1).astype(jnp.int32) // Tc
+    tx = jnp.clip(xcf, 0, WP - 1).astype(jnp.int32) // Tc
+    ntx_t = WP // Tc + 1
+    tkey = ty * ntx_t + tx
+    pkey = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
+                     + a2.astype(jnp.int32), jnp.int32(2**30))
+
+    # composite stable sort: tile-major within pair-major — two stable
+    # passes (int32 keys; a single composite key would overflow int32)
+    o1 = jnp.argsort(tkey, stable=True)
+    order = o1[jnp.argsort(pkey[o1], stable=True)]
+    key_s = pkey[order]
+    tkey_s = tkey[order]
+    valid_s = valid[order]
     ycf_s = ycf[order]
     xcf_s = xcf[order]
     w_s = w[order].astype(rdt)
@@ -126,7 +156,8 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     # run boundaries -> run ids -> per-run counts -> chunk-padded starts
     new_run = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
-         (key_s[1:] != key_s[:-1]).astype(jnp.int32)]
+         ((key_s[1:] != key_s[:-1])
+          | (tkey_s[1:] != tkey_s[:-1])).astype(jnp.int32)]
     )
     run_id = jnp.cumsum(new_run) - 1                     # [n]
     overflow = run_id >= max_runs
@@ -187,8 +218,12 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     vv = (vis_s[src].reshape(n_chunks, chunk)
           * ok2.astype(vis.dtype))
     wv = w_s[src].reshape(n_chunks, chunk)
-    n_dropped = (jnp.sum(ok.reshape(n_chunks, chunk) & ~ok2)
-                 + jnp.sum(overflow))
+    # honesty count: records the caller COULD grid (in-bounds) that the
+    # pair-chunking failed to place — OOB records are the usual silent
+    # drop every gridding mode applies, not a chunking failure
+    valid_slot = valid_s[src].reshape(n_chunks, chunk)
+    n_dropped = (jnp.sum(ok.reshape(n_chunks, chunk) & valid_slot & ~ok2)
+                 + jnp.sum(overflow & valid_s))
     geom = (S, PADM, HP, WP, n_chunks)
     return dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom
 

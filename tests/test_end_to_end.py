@@ -531,3 +531,82 @@ class TestDumpIntermediates:
             import numpy as np
 
             assert np.isfinite(np.asarray(f["/debug/img"])).all()
+
+
+class TestAWIDGPipeline:
+    @pytest.fixture(scope="class")
+    def track_dataset(self, tmp_path_factory):
+        # denser time sampling than the module dataset: IDG-AW chunks a
+        # pair's records together, so per-chunk uv spread must stay small
+        cfg = SyntheticConfig(
+            theta=0.05, lam=3600, nant=6, ntime=48, nsources=3,
+            nw_planes=4, qpx=4, npix_ff=128, npix_kern=15, seed=11,
+        )
+        d = tmp_path_factory.mktemp("tracks")
+        paths, obs = generate_dataset(str(d), cfg)
+        return paths, obs
+
+    def test_aw_idg_close_to_fused_aw(self, track_dataset, imaging_config):
+        """IDG-AW vs the spectral-convolution AW path on the same
+        observation.  The synthetic akerns carry FULL-STAMP 1% noise,
+        whose convolution with the 15-tap w-kernel the reference path
+        TRUNCATES (measured ~0.4 of the noise term — see
+        tests/test_idg.py::test_matches_bank_aw_scatter); IDG-AW keeps
+        it, so the images differ by ~the truncated noise energy (~15%
+        here).  Tight parity with compact akerns is asserted in
+        test_idg.py; this test pins the end-to-end wiring + physics."""
+        paths, obs = track_dataset
+        from ska_sdp_tpu.utils.timing import PhaseTimer
+
+        mx_aw, img_aw = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config,
+        )
+        t = PhaseTimer()
+        mx_idg, img_idg = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config, idg=True, timer=t,
+        )
+        assert t.times.get("idg_aw/dropped") == 0.0
+        scale = np.abs(img_aw).max()
+        assert np.abs(img_idg - img_aw).max() < 0.25 * scale
+        assert mx_idg > 0
+
+    def test_aw_idg_sources_recovered(self, track_dataset, imaging_config):
+        paths, obs = track_dataset
+        _, img = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config, idg=True,
+        )
+        n = img.shape[0]
+        for l, m, flux in obs["sources"]:
+            iy = int(round(n / 2 + m * 3600))
+            ix = int(round(n / 2 + l * 3600))
+            window = img[max(0, iy - 2): iy + 3, max(0, ix - 2): ix + 3]
+            assert window.max() > 0.25 * img.max(), (l, m, flux)
+
+    def test_cli_aw_idg_needs_no_wkern(self, track_dataset, tmp_path):
+        """--mode aw --idg runs without wkern.h5 (the screens replace the
+        w-kernel bank entirely)."""
+        import os
+        import shutil
+        import subprocess
+        import sys
+
+        paths, _ = track_dataset
+        d = str(tmp_path / "obs")
+        os.makedirs(d)
+        shutil.copy(paths["vis"], os.path.join(d, "vis.h5"))
+        shutil.copy(paths["akern"], os.path.join(d, "akern.h5"))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "aw",
+             "--idg", "-i", d, "--all", "--backend", "cpu",
+             "--theta", "0.05", "--lam", "3600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "image max:" in r.stdout
+        assert "warning: IDG-AW dropped" not in r.stderr

@@ -602,7 +602,7 @@ class TestIDGAW:
         g, nd = idg_grid_aw(
             (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
             jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
-            subgrid=SA, max_runs=2 * nbl,
+            subgrid=SA, max_runs=8 * nbl + p.shape[0] // 128 + 64,
         )
         assert int(nd) == 0
         img = _corrected_image(np.asarray(g), S=SA)
@@ -650,7 +650,7 @@ class TestIDGAW:
         g_idg, nd = idg_grid_aw(
             (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
             jnp.asarray(w_b), jnp.asarray(vis), scr, theta=THETA,
-            subgrid=SA, max_runs=2 * nbl,
+            subgrid=SA, max_runs=8 * nbl + p.shape[0] // 128 + 64,
         )
         assert int(nd) == 0
         assert _rel(_corrected_image(np.asarray(g_idg), S=SA),
@@ -678,7 +678,7 @@ class TestIDGAW:
                 (N, N), jnp.asarray(p[idx]), jnp.asarray(a1[idx]),
                 jnp.asarray(a2[idx]), jnp.asarray(w[idx]),
                 jnp.asarray(vis[idx]), scr, theta=THETA, subgrid=SA,
-                max_runs=2 * nbl,
+                max_runs=8 * nbl + p.shape[0] // 128 + 64,
             )
             return np.asarray(g), int(nd)
 
@@ -713,3 +713,78 @@ class TestIDGAW:
         )
         assert int(nd) > 0
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestIDGAWPallas:
+    def test_interpret_matches_xla_oracle(self, rng):
+        """Pallas IDG-AW (interpret mode) vs the XLA path on identical
+        float32 inputs — same chunking, same screens, same grid."""
+        from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        s = 15
+        nant = 5
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        pj = jnp.asarray(p, jnp.float32)
+        wj = jnp.asarray(w, jnp.float32)
+        vj = jnp.asarray(vis, jnp.complex64)
+        a1j = jnp.asarray(a1)
+        a2j = jnp.asarray(a2)
+
+        g_want, nd_want = idg_grid_aw(
+            (N, N), pj, a1j, a2j, wj, vj, scr, theta=THETA, subgrid=SA,
+            max_runs=8 * nbl + p.shape[0] // 128 + 64,
+        )
+        g_got, nd_got = idg_aw_gridder_pallas(
+            (N, N), pj, a1j, a2j, wj, vj, scr, theta=THETA, subgrid=SA,
+            max_runs=8 * nbl + p.shape[0] // 128 + 64, interpret=True,
+        )
+        assert int(nd_want) == int(nd_got) == 0
+        d = np.linalg.norm(np.asarray(g_got) - np.asarray(g_want)) / \
+            np.linalg.norm(np.asarray(g_want))
+        assert d < 2e-5, d
+
+    def test_interpret_edge_origins_and_drops(self, rng):
+        """Chunks near the grid edge (clipped origins) and a scattered
+        pair (drops) exercise the placement window bounds."""
+        from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        b = 512
+        p = np.zeros((b, 3), np.float32)
+        # pair (0,1): tight cluster hugging the +u,+v grid corner
+        p[:256, 0] = 0.49 + rng.uniform(-4 / N, 0, 256)
+        p[:256, 1] = 0.49 + rng.uniform(-4 / N, 0, 256)
+        # pair (1,2): scattered — mostly dropped
+        p[256:, :2] = rng.uniform(-0.45, 0.45, (256, 2)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+        a1 = np.r_[np.zeros(256, np.int32), np.ones(256, np.int32)]
+        a2 = np.r_[np.ones(256, np.int32), np.full(256, 2, np.int32)]
+        s = 15
+        ak = np.zeros((3, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+
+        g_want, nd_want = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA, subgrid=SA,
+            max_runs=8,
+        )
+        g_got, nd_got = idg_aw_gridder_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA, subgrid=SA,
+            max_runs=8, interpret=True,
+        )
+        assert int(nd_want) == int(nd_got) > 0
+        d = np.linalg.norm(np.asarray(g_got) - np.asarray(g_want)) / \
+            np.linalg.norm(np.asarray(g_want))
+        assert d < 2e-5, d
