@@ -31,6 +31,8 @@ vr = rng.standard_normal(b).astype(np.float32)
 vi = rng.standard_normal(b).astype(np.float32)
 
 STAGE = sys.argv[1] if len(sys.argv) > 1 else "all"
+if STAGE == "parity":
+    jax.config.update("jax_platforms", "cpu")   # axon ignores the env var
 print("devices:", jax.devices(), flush=True)
 
 from ska_sdp_tpu.ops.idg_aw import _chunk_pair_runs, aw_screens_host
@@ -52,7 +54,7 @@ def stage(name, fn, *args):
 
 def prep(p_j, a1_j, a2_j, w_j, vr_j, vi_j):
     vis = jax.lax.complex(vr_j, vi_j)
-    dy, dx, wv, vv, y0, x0, ia1, ia2, nd, geom = _chunk_pair_runs(
+    dy, dx, wv, vv, y0, x0, ia1, ia2, nd, geom, _ = _chunk_pair_runs(
         (N, N), p_j, a1_j, a2_j, w_j, vis, subgrid=S, chunk=128,
         support=15, max_runs=256, fit_margin=13,
     )
@@ -74,42 +76,32 @@ from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_grid_pallas
 
 
 def full(p_j, a1_j, a2_j, w_j, vr_j, vi_j, sre, sim):
-    gr, gi, nd = idg_aw_grid_pallas(
-        (N, N), p_j, a1_j, a2_j, w_j, vr_j, vi_j, sre, sim,
-        theta=THETA, max_runs=256,
-    )
-    return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi)), nd.astype(jnp.float32)
-
-
-if STAGE in ("all", "kernel"):
-    stage("kernel", full, *args,
-          jnp.asarray(scr.real), jnp.asarray(scr.imag))
-
-if STAGE not in ("all", "parity"):
-    raise SystemExit(0)
-# parity vs XLA oracle on the same inputs (run oracle on CPU)
-from ska_sdp_tpu.ops.idg_aw import idg_grid_aw
-
-cpu = jax.devices("cpu")[0]
-with jax.default_device(cpu):
-    g_want, nd_w = idg_grid_aw(
-        (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
-        jnp.asarray(w), jnp.asarray(vr + 1j * vi, jnp.complex64),
-        jnp.asarray(scr), theta=THETA, subgrid=S, max_runs=256,
-    )
-
-
-def full_grid(p_j, a1_j, a2_j, w_j, vr_j, vi_j, sre, sim):
     return idg_aw_grid_pallas(
         (N, N), p_j, a1_j, a2_j, w_j, vr_j, vi_j, sre, sim,
         theta=THETA, max_runs=256,
     )
 
 
-gr, gi, nd = jax.jit(full_grid)(*args, jnp.asarray(scr.real),
-                                jnp.asarray(scr.imag))
-got = np.asarray(gr) + 1j * np.asarray(gi)
+if STAGE in ("all", "kernel"):
+    gr, gi, nd = stage("kernel", full, *args,
+                       jnp.asarray(scr.real), jnp.asarray(scr.imag))
+    np.savez("/tmp/idg_aw_tpu_grid.npz", gr=np.asarray(gr),
+             gi=np.asarray(gi), nd=int(nd))
+    print("saved TPU grid, nd =", int(nd), flush=True)
+
+if STAGE not in ("all", "parity"):
+    raise SystemExit(0)
+d = np.load("/tmp/idg_aw_tpu_grid.npz")
+from ska_sdp_tpu.ops.idg_aw import idg_grid_aw
+g_want, nd_w = idg_grid_aw(
+    (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+    jnp.asarray(w), jnp.asarray(vr + 1j * vi, jnp.complex64),
+    jnp.asarray(scr), theta=THETA, subgrid=S, max_runs=256,
+)
+got = d["gr"] + 1j * d["gi"]
 want = np.asarray(g_want)
-d = np.linalg.norm(got - want) / np.linalg.norm(want)
-print(f"parity vs XLA oracle: rel={d:.3g} nd_tpu={int(nd)} nd_cpu={int(nd_w)}",
-      flush=True)
+rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+print(f"parity vs XLA oracle: rel={rel:.3g} nd_tpu={int(d['nd'])} "
+      f"nd_cpu={int(nd_w)}", flush=True)
+raise SystemExit(0)
+

@@ -77,7 +77,7 @@ def main():
     scr_re = jnp.asarray(scr.real.astype(np.float32))
     scr_im = jnp.asarray(scr.imag.astype(np.float32))
 
-    max_runs = 2 * nbl + 16
+    max_runs = 8 * nbl + n // 128 + 64
 
     @jax.jit
     def step(p_j, w_j, a1_j, a2_j, vr_j, vi_j, sre, sim, salt):

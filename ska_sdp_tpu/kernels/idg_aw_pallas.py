@@ -178,7 +178,7 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
     assert fit_margin > 0, "subgrid too small for support + taper margin"
     vis = jax.lax.complex(vis_re.astype(jnp.float32),
                           vis_im.astype(jnp.float32))
-    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom = _chunk_pair_runs(
+    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, _ = _chunk_pair_runs(
         grid_shape, p, a1, a2, w, vis, subgrid=S, chunk=chunk,
         support=support, max_runs=max_runs, fit_margin=fit_margin,
     )

@@ -107,7 +107,9 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     sorts (tile, then pair) preserve time/channel order within a group.
 
     Returns (dy, dx, wv, vv [n_chunks, chunk], y0, x0, ia1, ia2
-    [n_chunks], n_dropped, geometry (S, PADM, HP, WP, n_chunks)).
+    [n_chunks], n_dropped, geometry (S, PADM, HP, WP, n_chunks),
+    maps (order, src, ok2, valid) — the slot↔record correspondence the
+    degrid epilogue inverts).
 
     ``n_dropped`` counts in-bounds records that could not be gridded:
     run overflow past ``max_runs`` plus residual fit failures — zero when
@@ -225,7 +227,8 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     n_dropped = (jnp.sum(ok.reshape(n_chunks, chunk) & valid_slot & ~ok2)
                  + jnp.sum(overflow & valid_s))
     geom = (S, PADM, HP, WP, n_chunks)
-    return dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom
+    maps = (order, src, ok2.reshape(-1), valid)
+    return dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, maps
 
 
 @partial(jax.jit, static_argnames=("grid_shape", "theta", "subgrid",
@@ -264,10 +267,11 @@ def idg_grid_aw(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
     if fit_margin == 0:
         fit_margin = S // 2 - support // 2 - 12
     assert fit_margin > 0, "subgrid too small for support + taper margin"
-    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom = _chunk_pair_runs(
-        grid_shape, p, a1, a2, w, vis, subgrid=S, chunk=chunk,
-        support=support, max_runs=max_runs, fit_margin=fit_margin,
-    )
+    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, _ = \
+        _chunk_pair_runs(
+            grid_shape, p, a1, a2, w, vis, subgrid=S, chunk=chunk,
+            support=support, max_runs=max_runs, fit_margin=fit_margin,
+        )
     S, PADM, HP, WP, n_chunks = geom
     N, Nx = grid_shape
 
@@ -321,3 +325,104 @@ def idg_grid_aw(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
     gp = jnp.zeros((HP, WP), cdt)
     gp, _ = jax.lax.scan(scan_body, gp, args)
     return gp[PADM:PADM + N, PADM:PADM + Nx], n_dropped
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "theta", "subgrid",
+                                   "chunk", "batch", "support",
+                                   "taper_beta", "max_runs", "fit_margin"))
+def idg_degrid_aw(grid_shape, p, a1, a2, w, grid, screens, *, theta: float,
+                  subgrid: int = 64, chunk: int = CHUNK_AW,
+                  batch: int = 64, support: int = 15,
+                  taper_beta: float = 12.0, max_runs: int = 4096,
+                  fit_margin: int = 0):
+    """AW-projection DEgridding: the exact adjoint of :func:`idg_grid_aw`.
+
+    Per pair-chunk the uv window at the chunk's own origin is
+    adjoint-sandwiched to a coarse image, multiplied by the UNconjugated
+    pair screen ``A[a1]·A[a2]`` (the adjoint of the forward's conjugated
+    multiply), and each visibility reads its value as a rank-1
+    contraction against the conjugated phase factors — continuous
+    (u, v, w) model prediction with direction-dependent antenna terms.
+
+    Args mirror :func:`idg_grid_aw`; ``grid`` is the [H, W] uv-grid.
+    Returns ([n] complex visibilities, n_dropped) — records the chunking
+    could not place predict 0 and are counted, exactly like the forward.
+    """
+    cdt = grid.dtype
+    S = subgrid
+    if fit_margin == 0:
+        fit_margin = S // 2 - support // 2 - 12
+    assert fit_margin > 0, "subgrid too small for support + taper margin"
+    n = p.shape[0]
+    dummy_vis = jnp.ones((n,), cdt)      # chunking only needs positions
+    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, maps = \
+        _chunk_pair_runs(
+            grid_shape, p, a1, a2, w, dummy_vis, subgrid=S, chunk=chunk,
+            support=support, max_runs=max_runs, fit_margin=fit_margin,
+        )
+    S, PADM, HP, WP, n_chunks = geom
+    N, Nx = grid_shape
+
+    ftype = jnp.float64 if cdt == jnp.complex128 else jnp.float32
+    q = jnp.arange(S, dtype=ftype) - S // 2
+    theta_x = theta * Nx / N
+    lq2y = (q * (theta / S)) ** 2
+    lq2x = (q * (theta_x / S)) ** 2
+    F = _dft_matrix(S, cdt)
+    if taper_beta > 0:
+        t1 = kaiser_taper(S, taper_beta, ftype)
+        F = F * t1[None, :].astype(cdt)
+    scr_u = screens.astype(cdt)                      # UNconjugated product
+
+    gp = jnp.zeros((HP, WP), cdt)
+    gp = gp.at[PADM:PADM + N, PADM:PADM + Nx].set(grid)
+
+    def scan_body(_, args):
+        dy_b, dx_b, w_b, m_b, y0_b, x0_b, a1_b, a2_b = args
+
+        def win_one(i):
+            return jax.lax.dynamic_slice(gp, (y0_b[i], x0_b[i]), (S, S))
+
+        wins = jax.vmap(win_one)(jnp.arange(y0_b.shape[0]))   # [B, S, S]
+        a_sub = jnp.einsum("qy,cyx,xr->cqr", jnp.conj(F).T, wins,
+                           jnp.conj(F), preferred_element_type=cdt,
+                           precision=jax.lax.Precision.HIGHEST) / (S * S)
+        a_sub = a_sub * (scr_u[a1_b] * scr_u[a2_b])
+        ph_y = (2.0 * jnp.pi / S) * dy_b[..., None] * q[None, None, :] \
+            - jnp.pi * w_b[..., None] * lq2y[None, None, :]
+        ph_x = (2.0 * jnp.pi / S) * dx_b[..., None] * q[None, None, :] \
+            - jnp.pi * w_b[..., None] * lq2x[None, None, :]
+        ey_c = jnp.exp(-1j * ph_y).astype(cdt)
+        ex_c = jnp.exp(-1j * ph_x).astype(cdt)
+        v = jnp.einsum("cqr,cbq,cbr->cb", a_sub, ey_c, ex_c,
+                       preferred_element_type=cdt,
+                       precision=jax.lax.Precision.HIGHEST)
+        return None, v * m_b                     # mask dropped/pad slots
+
+    nb = -(-n_chunks // batch)
+    pad_c = nb * batch - n_chunks
+
+    def pad2(x):
+        return jnp.pad(x, ((0, pad_c), (0, 0))).reshape(nb, batch,
+                                                        x.shape[1])
+
+    def pad1(x):
+        return jnp.pad(x, (0, pad_c)).reshape(nb, batch)
+
+    mask = vv                                     # 1 where placed, else 0
+    args = (pad2(dy), pad2(dx), pad2(wv), pad2(mask),
+            pad1(y0), pad1(x0), pad1(ia1), pad1(ia2))
+    _, v_blocks = jax.lax.scan(scan_body, None, args)
+    v_slots = v_blocks.reshape(-1)[: n_chunks * chunk]
+
+    # unsort: padded slot -> sorted position -> original order (the
+    # ``idg_degrid_wproj`` epilogue on the chunking's own maps)
+    order, src, ok2, valid = maps
+    sorted_v = jnp.zeros((n,), cdt).at[
+        jnp.where(ok2, src, n)
+    ].set(v_slots, mode="drop")
+    _, v_re, v_im = jax.lax.sort(
+        [order, jnp.real(sorted_v), jnp.imag(sorted_v)], num_keys=1
+    )
+    out = jax.lax.complex(v_re, v_im).astype(cdt)
+    return jnp.where(valid, out, 0), n_dropped

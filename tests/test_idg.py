@@ -788,3 +788,67 @@ class TestIDGAWPallas:
         d = np.linalg.norm(np.asarray(g_got) - np.asarray(g_want)) / \
             np.linalg.norm(np.asarray(g_want))
         assert d < 2e-5, d
+
+
+class TestIDGAWDegrid:
+    def test_adjoint_exact(self, rng):
+        """<grid_aw(v), G> == <v, degrid_aw(G)> through the IDG-AW pair —
+        identical chunking both directions makes the adjoint exact."""
+        from ska_sdp_tpu.ops.idg_aw import (aw_screens, idg_degrid_aw,
+                                            idg_grid_aw)
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=5, ntime=48)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        s = 15
+        ak = np.zeros((5, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        ak += 0.2 * (rng.standard_normal((5, s, s))
+                     + 1j * rng.standard_normal((5, s, s)))
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128)
+        G = (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N)))
+        Av, nd1 = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA, subgrid=SA,
+            max_runs=mr,
+        )
+        AtG, nd2 = idg_degrid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(G), scr, theta=THETA, subgrid=SA,
+            max_runs=mr,
+        )
+        assert int(nd1) == int(nd2) == 0
+        lhs = complex(jnp.vdot(jnp.asarray(G), Av))
+        rhs = complex(jnp.vdot(AtG, jnp.asarray(vis)))
+        assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-10
+
+    def test_roundtrip_matches_bank_aw_degrid(self, rng):
+        """Predicting from a uv-grid with delta A-screens reduces to plain
+        IDG degridding (screens == 1 ⇒ same operator)."""
+        from ska_sdp_tpu.ops.idg import idg_degrid_wproj
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_degrid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=4, ntime=48)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        s = 15
+        ak = np.zeros((4, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128)
+        G = (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N)))
+        got, nd = idg_degrid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(G), scr, theta=THETA, subgrid=SA,
+            max_runs=mr,
+        )
+        assert int(nd) == 0
+        want = idg_degrid_wproj(
+            (N, N), jnp.asarray(p), jnp.asarray(w), jnp.asarray(G),
+            theta=THETA, subgrid=SA,
+        )
+        # same operator, different chunk geometry (dynamic origins vs the
+        # fixed tiling): agreement is at the METHOD's aliasing level, not
+        # bit-exact — both are ~1e-4-accurate vs the true operator
+        d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
+            np.linalg.norm(np.asarray(want))
+        assert d < 3e-4, d
