@@ -248,6 +248,23 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
     )
 
 
+def idg_aw_degridder(grid_shape, p, a1, a2, w, grid, screens, *,
+                     theta: float, subgrid: int = 64, support: int = 15,
+                     taper_beta: float = 12.0, max_runs: int = 4096,
+                     fit_margin: int = 0):
+    """IDG-AW degridding (model predict with direction-dependent antenna
+    terms): the exact adjoint of :func:`idg_aw_gridder`.  XLA realization
+    on every backend (the chunk count is modest — the scan stays
+    MXU-batched); returns (vis, n_dropped)."""
+    from ..ops.idg_aw import idg_degrid_aw
+
+    return idg_degrid_aw(
+        grid_shape, p, a1, a2, w, grid, screens, theta=theta,
+        subgrid=subgrid, support=support, taper_beta=taper_beta,
+        max_runs=max_runs, fit_margin=fit_margin,
+    )
+
+
 # VMEM byte budget for the fused-AW kernel's resident spectral tables.  The
 # kernel itself is compiled with vmem_limit_bytes=100MB; accumulators,
 # record staging and pipeline double-buffers need the rest, so tables get

@@ -1,31 +1,34 @@
-"""Pallas TPU kernel: IDG-AW — pair-chunked subgrid matmuls, A-screens,
+"""Pallas TPU kernel: IDG-AW — (pair, uv-tile) run walking, A-screens,
 resident-grid placement.
 
 The TPU realization of ``ops.idg_aw.idg_grid_aw`` (the XLA path is the
-oracle).  One grid program per pair-chunk:
+oracle).  Records are grouped into RUNS sharing one antenna pair and one
+coarse uv tile (the tile fixes the subgrid origin as a pure function of
+its id — ``ops/idg_aw.py`` documents the geometry); one grid program
+walks one run, exactly like ``idg_pallas`` walks fixed subgrids:
 
-* the chunk's records stream in as a pipelined [8, C] VMEM block (rows
-  dy, dx, w, vr, vi from the shared ``_chunk_pair_runs`` prep — records
-  already grouped by antenna pair and masked for fit/pair/OOB);
-* phase matrices are built vectorized over the C record lanes and the
-  visibility-weighted outer-product sum runs as four (S, C)×(C, S) MXU
-  matmuls — identical inner loop to ``idg_pallas``;
-* the chunk's subgrid image is multiplied ONCE by the conjugated pair
-  screen ``conj(A[a1]·A[a2])`` (two dynamic VMEM row gathers + one
-  elementwise complex multiply — the whole AW surcharge over plain IDG);
-* the taper is folded into the DFT factors; the second sandwich factor
-  is pre-interleaved (re|im lane pairs) so the patch emerges in the
-  resident grid's interleaved layout straight off the MXU;
-* the (S, 2S) patch is placed at the chunk's own uv origin into the
-  WHOLE padded uv-grid kept resident in VMEM (the
-  ``wproj_resident_pallas`` pattern: pad → two ``pltpu.roll`` → one
-  aligned read-modify-write) — subgrid origins are per-chunk dynamic,
-  so the fixed-tiling overlap-add fold does not apply.
-
-Empty chunks (run-padding tails) are skipped via a per-chunk live flag.
+* ONE fused stable multi-operand ``lax.sort`` (keys pair, tile) orders
+  the record stream; no padded-slot arrays, no per-slot gathers — the
+  v1 chunk-padded prep materialized ~4·n slots and its gathers cost
+  ~300 ms/Mvis, 7× the kernel itself (measured round 3);
+* per run, CHUNK-record blocks stream HBM→VMEM double-buffered; block
+  boundaries shared with neighbouring runs are neutralized by zeroing
+  the visibility lanes outside [start, end) (two vector selects);
+* the visibility-weighted outer-product sum runs as four (S, C)×(C, S)
+  MXU matmuls per block — identical inner loop to ``idg_pallas``;
+* after the block loop the run's subgrid image is multiplied ONCE by the
+  conjugated pair screen ``conj(A[a1]·A[a2])`` (two dynamic VMEM row
+  gathers + one elementwise complex multiply — the whole AW surcharge
+  over plain IDG), the taper is folded into the DFT factor, and the
+  second sandwich factor is pre-interleaved so the (S, 2S) uv patch
+  emerges in the resident grid's re|im lane layout straight off the MXU;
+* the patch lands at the run's tile-derived origin in the WHOLE padded
+  uv-grid resident in VMEM (``wproj_resident_pallas`` placement: pad →
+  two ``pltpu.roll`` → one aligned read-modify-write) — origins are
+  per-run dynamic, so the fixed-tiling overlap-add fold does not apply.
 
 VMEM: resident padded grid (~53 MB at 2400², S=64) + screens
-(nant·S·S·8 B) + F factors; ``idg_aw_resident_fits`` gates dispatch.
+(nant·S·S·8 B) + DFT factors; ``idg_aw_resident_fits`` gates dispatch.
 """
 
 from __future__ import annotations
@@ -38,8 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.idg_aw import CHUNK_AW, _chunk_pair_runs
 from .wproj_pallas import _align
+
+CHUNK = 256
 
 # VMEM budget (measured ~112 MB live works on v5e; leave slack for Mosaic)
 IDG_AW_VMEM_BUDGET = 100 * 1024 * 1024
@@ -47,7 +51,7 @@ IDG_AW_VMEM_BUDGET = 100 * 1024 * 1024
 
 def _geometry(N: int, Nx: int, S: int):
     """Resident padded accumulator (rows, interleaved lanes) for subgrid
-    placement: margin S each side (chunk origins are clipped to
+    placement: margin S each side (run origins are clipped to
     [0, N+2S-S]) + roll slop (8 sublanes / 128 lanes)."""
     HP = _align(N + 2 * S, 8) + 8
     WP2 = _align(2 * (Nx + 2 * S), 128) + 128
@@ -65,70 +69,202 @@ def idg_aw_resident_fits(N: int, Nx: int, nant: int, S: int = 64) -> bool:
     return acc + screens + mats + slack <= IDG_AW_VMEM_BUDGET
 
 
-def _kernel(y0_ref, x0_ref, a1_ref, a2_ref, live_ref, recs_ref,
-            sr_ref, si_ref, fre_ref, fim_ref, hr_ref, hi_ref, out_ref,
-            *, S: int, theta: float, theta_x: float):
-    c = pl.program_id(0)
+def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
+                       subgrid: int = 64, chunk: int = CHUNK,
+                       support: int = 15, max_runs: int = 4096,
+                       fit_margin: int = 0):
+    """Sort records into (pair, uv-tile) runs for the run-walking kernel.
 
-    @pl.when(c == 0)
+    One fused stable ``lax.sort`` (keys: pair, tile) + vector ops — no
+    padded slots.  Same tile geometry as ``ops.idg_aw._chunk_pair_runs``
+    (origins are a pure function of the tile id), so the Pallas kernel
+    computes the same operator as the XLA oracle.
+
+    Returns (recs [nblk, 8, C], starts, ends, y0, x0, ia1, ia2
+    [max_runs], n_dropped, (HP, WP) padded planar geometry).
+    """
+    N, Nx = grid_shape
+    S = subgrid
+    s = support
+    if fit_margin == 0:
+        fit_margin = S // 2 - s // 2 - 12
+    assert fit_margin > 0, "subgrid too small for support + taper margin"
+    PADM = S
+    HP, WP = N + 2 * PADM, Nx + 2 * PADM
+    n = p.shape[0]
+    f32 = jnp.float32
+
+    ycf = (N // 2 + p[:, 1] * N + PADM).astype(f32)
+    xcf = (Nx // 2 + p[:, 0] * Nx + PADM).astype(f32)
+    yc = jnp.floor(ycf - PADM + 0.5).astype(jnp.int32)
+    xc = jnp.floor(xcf - PADM + 0.5).astype(jnp.int32)
+    valid = ((yc - s // 2 > -s) & (yc - s // 2 < N)
+             & (xc - s // 2 > -s) & (xc - s // 2 < Nx))
+
+    Tc = max(2 * fit_margin - 2, 8)
+    ty = jnp.clip(ycf, 0, HP - 1).astype(jnp.int32) // Tc
+    tx = jnp.clip(xcf, 0, WP - 1).astype(jnp.int32) // Tc
+    ntx_t = WP // Tc + 1
+    tkey = ty * ntx_t + tx
+    pkey = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
+                     + a2.astype(jnp.int32), jnp.int32(2**30))
+
+    # per-record dy/dx from the record's OWN tile (origin = f(tile))
+    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
+    x0r = jnp.clip(tx * Tc - (S - Tc) // 2, 0, WP - S)
+    dy = ycf - (y0r.astype(f32) + S // 2)
+    dx = xcf - (x0r.astype(f32) + S // 2)
+    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
+    use = valid & fit
+    vr = jnp.where(use, vis_re, 0.0).astype(f32)
+    vi = jnp.where(use, vis_im, 0.0).astype(f32)
+
+    pk_s, tk_s, dy_s, dx_s, w_s, vr_s, vi_s, a1_s, a2_s = jax.lax.sort(
+        [pkey, tkey, dy, dx, w.astype(f32), vr, vi,
+         a1.astype(jnp.int32), a2.astype(jnp.int32)],
+        num_keys=2, is_stable=True,
+    )
+
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         ((pk_s[1:] != pk_s[:-1])
+          | (tk_s[1:] != tk_s[:-1])).astype(jnp.int32)]
+    )
+    run_id = jnp.cumsum(new_run) - 1
+    overflow = run_id >= max_runs
+    rid = jnp.minimum(run_id, max_runs - 1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keep = ~overflow
+    starts = jnp.full((max_runs,), n, jnp.int32).at[
+        jnp.where(keep, rid, max_runs - 1)
+    ].min(jnp.where(keep, iota, n))
+    ends = jnp.zeros((max_runs,), jnp.int32).at[
+        jnp.where(keep, rid, max_runs - 1)
+    ].max(jnp.where(keep, iota + 1, 0))
+    valid_s = pk_s < jnp.int32(2**30)
+    n_dropped = (jnp.sum(valid & ~fit)
+                 + jnp.sum(overflow & valid_s)).astype(jnp.int32)
+
+    f = jnp.minimum(starts, n - 1)
+    tk_run = tk_s[f]
+    ty_r = tk_run // ntx_t
+    tx_r = tk_run - ty_r * ntx_t
+    y0 = jnp.clip(ty_r * Tc - (S - Tc) // 2, 0, HP - S)
+    x0 = jnp.clip(tx_r * Tc - (S - Tc) // 2, 0, WP - S)
+    ia1 = a1_s[f]
+    ia2 = a2_s[f]
+
+    n_pad = _align(max(n, 1), chunk)
+    zero = jnp.zeros((n_pad - n,), f32)
+    rows = [jnp.concatenate([r, zero]) for r in
+            (dy_s, dx_s, w_s, vr_s, vi_s)]
+    rows += [jnp.zeros((n_pad,), f32)] * 3
+    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
+                                   ).transpose(1, 0, 2)
+    return recs, starts, ends, y0, x0, ia1, ia2, n_dropped, (HP, WP)
+
+
+def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
+            recs_hbm, sr_ref, si_ref, fre_ref, fim_ref, hr_ref, hi_ref,
+            out_ref, recs_v, a_re, a_im, sems, *, S: int, theta: float,
+            theta_x: float):
+    r = pl.program_id(0)
+
+    @pl.when(r == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(live_ref[c] > 0)
+    start = starts_ref[r]
+    end = ends_ref[r]
+
+    @pl.when(end > start)
     def _():
-        C = recs_ref.shape[2]
+        a_re[:] = jnp.zeros_like(a_re)
+        a_im[:] = jnp.zeros_like(a_im)
+
         cq = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) - (S // 2)
               ).astype(jnp.float32)
         lq2y = (cq * (theta / S)) ** 2
         lq2x = (cq * (theta_x / S)) ** 2
+        b_lo = start // CHUNK
+        nblocks = (end - 1) // CHUNK - b_lo + 1
 
-        dy = recs_ref[0, 0:1, :]
-        dx = recs_ref[0, 1:2, :]
-        w = recs_ref[0, 2:3, :]
-        vr = recs_ref[0, 3:4, :]
-        vi = recs_ref[0, 4:5, :]
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                recs_hbm.at[b_lo + c], recs_v.at[slot], sems.at[slot]
+            )
 
-        two_pi_s = jnp.float32(2.0 * np.pi / S)
-        pi_ = jnp.float32(np.pi)
-        ph_y = two_pi_s * cq * dy - pi_ * lq2y * w          # (S, C)
-        ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
-        ey_re = jnp.cos(ph_y)
-        ey_im = jnp.sin(ph_y)
-        ex_re = jnp.cos(ph_x)
-        ex_im = jnp.sin(ph_x)
+        dma(0, 0).start()
 
-        u_re = ey_re * vr - ey_im * vi
-        u_im = ey_re * vi + ey_im * vr
+        def chunk_body(c, _):
+            slot = jax.lax.rem(c, jnp.asarray(2, c.dtype))
 
-        dn = (((1,), (1,)), ((), ()))                        # contract lanes
-        f32 = jnp.float32
-        hp = jax.lax.Precision.HIGHEST
-        a_re = (
-            jax.lax.dot_general(u_re, ex_re, dn, preferred_element_type=f32,
-                                precision=hp)
-            - jax.lax.dot_general(u_im, ex_im, dn, preferred_element_type=f32,
-                                  precision=hp)
-        )
-        a_im = (
-            jax.lax.dot_general(u_re, ex_im, dn, preferred_element_type=f32,
-                                precision=hp)
-            + jax.lax.dot_general(u_im, ex_re, dn, preferred_element_type=f32,
-                                  precision=hp)
-        )
+            @pl.when(c + 1 < nblocks)
+            def _():
+                dma(1 - slot, c + 1).start()
+
+            dma(slot, c).wait()
+            b = b_lo + c
+            lo = jnp.maximum(start - b * CHUNK, 0)
+            hi = jnp.minimum(end - b * CHUNK, CHUNK)
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            okm = ((lane >= lo) & (lane < hi)).astype(jnp.float32)
+
+            dy = recs_v[slot, 0:1, :]
+            dx = recs_v[slot, 1:2, :]
+            w = recs_v[slot, 2:3, :]
+            vr = recs_v[slot, 3:4, :] * okm
+            vi = recs_v[slot, 4:5, :] * okm
+
+            two_pi_s = jnp.float32(2.0 * np.pi / S)
+            pi_ = jnp.float32(np.pi)
+            ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, CHUNK)
+            ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
+            ey_re = jnp.cos(ph_y)
+            ey_im = jnp.sin(ph_y)
+            ex_re = jnp.cos(ph_x)
+            ex_im = jnp.sin(ph_x)
+
+            u_re = ey_re * vr - ey_im * vi
+            u_im = ey_re * vi + ey_im * vr
+
+            dn = (((1,), (1,)), ((), ()))                  # contract lanes
+            f32 = jnp.float32
+            hp = jax.lax.Precision.HIGHEST
+            a_re[:] += (
+                jax.lax.dot_general(u_re, ex_re, dn,
+                                    preferred_element_type=f32, precision=hp)
+                - jax.lax.dot_general(u_im, ex_im, dn,
+                                      preferred_element_type=f32,
+                                      precision=hp)
+            )
+            a_im[:] += (
+                jax.lax.dot_general(u_re, ex_im, dn,
+                                    preferred_element_type=f32, precision=hp)
+                + jax.lax.dot_general(u_im, ex_re, dn,
+                                      preferred_element_type=f32,
+                                      precision=hp)
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
 
         # pair screen: conj(A[a1] · A[a2]) — the whole AW surcharge
         nant = sr_ref.shape[0]
-        i1 = jnp.minimum(a1_ref[c], nant - 1)
-        i2 = jnp.minimum(a2_ref[c], nant - 1)
+        i1 = jnp.minimum(a1_ref[r], nant - 1)
+        i2 = jnp.minimum(a2_ref[r], nant - 1)
         r1, im1 = sr_ref[i1], si_ref[i1]
         r2, im2 = sr_ref[i2], si_ref[i2]
         p_re = r1 * r2 - im1 * im2
-        p_im = -(r1 * im2 + im1 * r2)                        # conjugated
-        t_re = a_re * p_re - a_im * p_im
-        t_im = a_re * p_im + a_im * p_re
+        p_im = -(r1 * im2 + im1 * r2)                      # conjugated
+        t_re = a_re[:] * p_re - a_im[:] * p_im
+        t_im = a_re[:] * p_im + a_im[:] * p_re
 
-        # sandwich: b = F·a' (taper folded into F), then the interleaving
-        # factors H emit the patch as re|im lane pairs directly
+        # sandwich: b = F·a' (taper folded into F); the interleaving
+        # factors H emit the patch as re|im lane pairs straight off MXU
+        f32 = jnp.float32
+        hp = jax.lax.Precision.HIGHEST
         dn_nt = (((1,), (0,)), ((), ()))
         b_re = (
             jax.lax.dot_general(fre_ref[:], t_re, dn_nt,
@@ -147,52 +283,40 @@ def _kernel(y0_ref, x0_ref, a1_ref, a2_ref, live_ref, recs_ref,
                                 preferred_element_type=f32, precision=hp)
             + jax.lax.dot_general(b_im, hi_ref[:], dn_nt,
                                   preferred_element_type=f32, precision=hp)
-        )                                                     # (S, 2S)
+        )                                                   # (S, 2S)
 
-        y0 = y0_ref[c]
-        x2 = x0_ref[c] * 2
-        r = jax.lax.rem(y0, jnp.int32(8))
+        y0 = y0_ref[r]
+        x2 = x0_ref[r] * 2
+        rr = jax.lax.rem(y0, jnp.int32(8))
         rem = jax.lax.rem(x2, jnp.int32(128))
-        y0a = pl.multiple_of(y0 - r, 8)
+        y0a = pl.multiple_of(y0 - rr, 8)
         x2a = pl.multiple_of(x2 - rem, 128)
         patch = jnp.pad(patch, ((0, 8), (0, 128)))
-        patch = pltpu.roll(pltpu.roll(patch, r, 0), rem, 1)
+        patch = pltpu.roll(pltpu.roll(patch, rr, 0), rem, 1)
         out_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)] += patch
 
 
 def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
                        scr_im, *, theta: float, subgrid: int = 64,
-                       chunk: int = CHUNK_AW, support: int = 15,
-                       taper_beta: float = 12.0, max_runs: int = 4096,
-                       fit_margin: int = 0, interpret: bool = False):
+                       support: int = 15, taper_beta: float = 12.0,
+                       max_runs: int = 4096, fit_margin: int = 0,
+                       interpret: bool = False):
     """IDG-AW gridding on TPU; returns (grid_re, grid_im, n_dropped).
 
-    Same contract as ``ops.idg_aw.idg_grid_aw`` (the oracle): ``scr_re/im``
-    are the UNconjugated [nant, S, S] screens from ``aw_screens`` split
-    into planes; the dirty image must be divided by ``taper_fine``.
+    Same operator as ``ops.idg_aw.idg_grid_aw`` (the oracle — identical
+    tile geometry): ``scr_re/im`` are the UNconjugated [nant, S, S]
+    screens from ``aw_screens`` split into planes; the dirty image must
+    be divided by ``taper_fine``.
     """
     N, Nx = grid_shape
     S = subgrid
-    if fit_margin == 0:
-        fit_margin = S // 2 - support // 2 - 12
-    assert fit_margin > 0, "subgrid too small for support + taper margin"
-    vis = jax.lax.complex(vis_re.astype(jnp.float32),
-                          vis_im.astype(jnp.float32))
-    dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, _ = _chunk_pair_runs(
-        grid_shape, p, a1, a2, w, vis, subgrid=S, chunk=chunk,
-        support=support, max_runs=max_runs, fit_margin=fit_margin,
-    )
-    S_, PADM, HPx, WPx, n_chunks = geom
+    recs, starts, ends, y0, x0, ia1, ia2, n_dropped, (HPp, WPp) = \
+        idg_aw_run_records(
+            grid_shape, p, a1, a2, w, vis_re, vis_im, subgrid=S,
+            support=support, max_runs=max_runs, fit_margin=fit_margin,
+        )
     HP, WP2 = _geometry(N, Nx, S)
-
-    vr = jnp.real(vv)
-    vi = jnp.imag(vv)
-    live = jnp.any(vv != 0, axis=1).astype(jnp.int32)
-    zero = jnp.zeros_like(dy)
-    recs = jnp.stack(
-        [dy.astype(jnp.float32), dx.astype(jnp.float32),
-         wv.astype(jnp.float32), vr, vi, zero, zero, zero], axis=0
-    ).transpose(1, 0, 2)                                  # [n_chunks, 8, C]
+    PADM = S
 
     # DFT factor with taper folded (1/S per factor ⇒ 1/S² total) and the
     # lane-interleaving second factors H (patch[y, 2j|2j+1] = re|im)
@@ -210,11 +334,10 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
     Hi[:, 1::2] = F.real.T
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_chunks,),
+        num_scalar_prefetch=6,
+        grid=(int(starts.shape[0]),),
         in_specs=[
-            pl.BlockSpec((1, 8, chunk), lambda c, *_: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),            # recs [nblk,8,C]
             pl.BlockSpec(memory_space=pltpu.VMEM),        # scr re
             pl.BlockSpec(memory_space=pltpu.VMEM),        # scr im
             pl.BlockSpec(memory_space=pltpu.VMEM),        # F re
@@ -223,6 +346,12 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
             pl.BlockSpec(memory_space=pltpu.VMEM),        # H im
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, CHUNK), jnp.float32),       # double-buffered
+            pltpu.VMEM((S, S), jnp.float32),
+            pltpu.VMEM((S, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
 
     out = pl.pallas_call(
@@ -234,21 +363,20 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
             vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(y0, x0, ia1, ia2, live, recs,
+    )(starts, ends, y0, x0, ia1, ia2, recs,
       scr_re.astype(jnp.float32), scr_im.astype(jnp.float32),
       jnp.asarray(F.real, jnp.float32), jnp.asarray(F.imag, jnp.float32),
       jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32))
 
-    g = out[:N + 2 * PADM, :2 * (Nx + 2 * PADM)][
-        PADM:PADM + N, 2 * PADM:2 * PADM + 2 * Nx]
+    g = out[PADM:PADM + N, 2 * PADM:2 * PADM + 2 * Nx]
     return g[:, 0::2], g[:, 1::2], n_dropped
 
 
 def idg_aw_gridder_pallas(grid_shape, p, a1, a2, w, vis, screens, *,
                           theta: float, subgrid: int = 64,
-                          chunk: int = CHUNK_AW, support: int = 15,
-                          taper_beta: float = 12.0, max_runs: int = 4096,
-                          fit_margin: int = 0, interpret: bool = False):
+                          support: int = 15, taper_beta: float = 12.0,
+                          max_runs: int = 4096, fit_margin: int = 0,
+                          interpret: bool = False, chunk: int = CHUNK):
     """Complex wrapper matching ``ops.idg_aw.idg_grid_aw``'s signature;
     returns (guv, n_dropped)."""
     g_re, g_im, nd = idg_aw_grid_pallas(
@@ -257,7 +385,7 @@ def idg_aw_gridder_pallas(grid_shape, p, a1, a2, w, vis, screens, *,
         jnp.imag(vis).astype(jnp.float32),
         jnp.real(screens).astype(jnp.float32),
         jnp.imag(screens).astype(jnp.float32),
-        theta=theta, subgrid=subgrid, chunk=chunk, support=support,
+        theta=theta, subgrid=subgrid, support=support,
         taper_beta=taper_beta, max_runs=max_runs, fit_margin=fit_margin,
         interpret=interpret,
     )

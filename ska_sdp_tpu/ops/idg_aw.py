@@ -187,22 +187,17 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     ok = local < counts_j
     src = jnp.where(ok, starts_j + local, 0)
 
-    big = jnp.asarray(4.0 * (N + Nx), rdt)
+    # chunk origin: a pure function of the chunk's uv TILE — the subgrid
+    # centered on the tile (records of one tile fit by construction, so
+    # the fit test is a pure safety net; no data-dependent reductions)
     yv = ycf_s[src]
     xv = xcf_s[src]
-    y_min = jnp.min(jnp.where(ok, yv, big).reshape(n_chunks, chunk), axis=1)
-    y_max = jnp.max(jnp.where(ok, yv, -big).reshape(n_chunks, chunk), axis=1)
-    x_min = jnp.min(jnp.where(ok, xv, big).reshape(n_chunks, chunk), axis=1)
-    x_max = jnp.max(jnp.where(ok, xv, -big).reshape(n_chunks, chunk), axis=1)
-    any_ok = jnp.any(ok.reshape(n_chunks, chunk), axis=1)
-    y0 = jnp.where(any_ok,
-                   jnp.round((y_min + y_max) * 0.5).astype(jnp.int32) - S // 2,
-                   0)
-    x0 = jnp.where(any_ok,
-                   jnp.round((x_min + x_max) * 0.5).astype(jnp.int32) - S // 2,
-                   0)
-    y0 = jnp.clip(y0, 0, HP - S)
-    x0 = jnp.clip(x0, 0, WP - S)
+    first = src.reshape(n_chunks, chunk)[:, 0]
+    tk_c = tkey_s[first]
+    ty_c = tk_c // ntx_t
+    tx_c = tk_c - ty_c * ntx_t
+    y0 = jnp.clip(ty_c * Tc - (S - Tc) // 2, 0, HP - S)
+    x0 = jnp.clip(tx_c * Tc - (S - Tc) // 2, 0, WP - S)
 
     dy = yv.reshape(n_chunks, chunk) - (y0[:, None].astype(rdt) + S // 2)
     dx = xv.reshape(n_chunks, chunk) - (x0[:, None].astype(rdt) + S // 2)
@@ -210,7 +205,6 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
 
     # chunk pair ids: first padded slot of every chunk is a real record
     # whenever the chunk has any (run-padding appends at run tails)
-    first = src.reshape(n_chunks, chunk)[:, 0]
     ia1 = a1_s[first]
     ia2 = a2_s[first]
     pair_match = (a1_s[src].reshape(n_chunks, chunk) == ia1[:, None]) & \
