@@ -316,7 +316,9 @@ def idg_grid_aw(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
 
     args = (pad2(dy), pad2(dx), pad2(wv), pad2(vv),
             pad1(y0), pad1(x0), pad1(ia1), pad1(ia2))
-    gp = jnp.zeros((HP, WP), cdt)
+    # + 0·data inherits device-varying typing under shard_map so the fold
+    # carry type-checks (cf. idg_grid_wproj's sub_imgs); no-op otherwise
+    gp = jnp.zeros((HP, WP), cdt) + vv.ravel()[0] * 0
     gp, _ = jax.lax.scan(scan_body, gp, args)
     return gp[PADM:PADM + N, PADM:PADM + Nx], n_dropped
 

@@ -367,3 +367,55 @@ def make_sharded_wproj_step_gridscatter(mesh: Mesh, theta: float, lam: int,
         out_specs=P(VIS_AXIS),
     )
     return jax.jit(fn)
+
+
+def make_sharded_idg_aw_step(mesh: Mesh, theta: float, lam: int,
+                             subgrid: int = 64, taper_beta: float = 12.0,
+                             max_runs: int = 4096):
+    """Jitted sharded IDG-AW step: (uvw_m, freq, vis, a1, a2, screens) →
+    (taper-corrected dirty image, total dropped count).
+
+    IDG-AW shards like the other vis-parallel steps: each chip chunks and
+    grids its own record shard (subgrid origins are a pure function of
+    the uv TILE — device-independent, so splitting a pair's run across
+    shards changes only summation order, not the operator), one psum
+    merges the partial grids, and the drop counts psum to a global
+    honesty figure.  Screens are replicated (nant·S² ≪ grid).
+    """
+    from ..kernels import idg_aw_gridder
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    n_grid = int(round(theta * lam))
+
+    def local(uvw, freq, vis, a1, a2, screens):
+        uvw_l = uvw_lambda(freq, uvw)
+        from ..ops.coords import frac_coords
+
+        p = uvw_l / lam
+        x, _, y, _ = frac_coords((n_grid, n_grid), 1, p)
+        flat = (y * n_grid + x).ravel()
+        counts = _varying_zeros((n_grid * n_grid,), uvw.dtype).at[flat].add(1.0)
+        counts = jax.lax.psum(counts, VIS_AXIS)
+        wt = (1.0 / counts[flat]).astype(vis.dtype)
+
+        uvw1, vis1 = mirror_uvw(uvw_l, vis)
+        part, nd = idg_aw_gridder(
+            (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2], wt * vis1,
+            screens, theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+            max_runs=max_runs,
+        )
+        full = jax.lax.psum(part, VIS_AXIS)
+        nd = jax.lax.psum(nd, VIS_AXIS)
+        img = jnp.real(ifft_centered(make_grid_hermitian(full)))
+        tf = taper_fine(n_grid, subgrid,
+                        kaiser_taper(subgrid, taper_beta)).astype(img.dtype)
+        return img / (tf[:, None] * tf[None, :]), nd
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(VIS_AXIS), P(), P(VIS_AXIS), P(VIS_AXIS), P(VIS_AXIS),
+                  P()),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)

@@ -418,3 +418,46 @@ class TestShardedIDG:
         tf = np.asarray(taper_fine(n, 32, kaiser_taper(32, 12.0)))
         want = np.asarray(want) / np.outer(tf, tf)
         np.testing.assert_allclose(np.asarray(img), want, atol=1e-9)
+
+
+class TestShardedIDGAW:
+    def test_idg_aw_step_matches_unsharded(self, rng, mesh):
+        """Sharded IDG-AW vs the local XLA chain: tile-derived subgrid
+        origins are device-independent, so shard-splitting a pair's run
+        changes only summation order."""
+        from ska_sdp_tpu.ops.idg import kaiser_taper, taper_fine
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+        from ska_sdp_tpu.parallel import make_sharded_idg_aw_step
+
+        theta, lam = 0.05, 2560   # 128² grid
+        b = 8 * 16
+        nant = 4
+        uvw = jnp.asarray(rng.uniform(-0.25 * lam, 0.25 * lam, size=(b, 3)))
+        vis = jnp.asarray(_rand_cplx(rng, b)).astype(jnp.complex128)
+        a1 = jnp.asarray(rng.integers(0, nant - 1, b), jnp.int32)
+        a2 = jnp.asarray(np.asarray(a1) + 1, jnp.int32)
+        freq = jnp.asarray(299792458.0)
+        s = 9
+        ak = np.zeros((nant, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        ak += 0.1 * rng.standard_normal((nant, s, s))
+        scr = aw_screens(jnp.asarray(ak), 64, dtype=jnp.complex128)
+        mr = 2048
+
+        step = make_sharded_idg_aw_step(mesh, theta, lam, subgrid=64,
+                                        max_runs=mr)
+        img, nd = step(uvw, freq, vis, a1, a2, scr)
+
+        n = int(round(theta * lam))
+        uvw_l = ops.uvw_lambda(freq, uvw)
+        wt = ops.doweight(theta, lam, uvw_l, jnp.ones_like(vis))
+        uvw1, vis1 = ops.mirror_uvw(uvw_l, vis)
+        guv, nd_w = idg_grid_aw(
+            (n, n), uvw1 / lam, a1, a2, uvw1[:, 2], wt * vis1, scr,
+            theta=theta, subgrid=64, max_runs=mr,
+        )
+        want = jnp.real(ops.ifft_centered(ops.make_grid_hermitian(guv)))
+        tf = np.asarray(taper_fine(n, 64, kaiser_taper(64, 12.0)))
+        want = np.asarray(want) / np.outer(tf, tf)
+        assert int(nd) == int(nd_w)
+        np.testing.assert_allclose(np.asarray(img), want, atol=1e-9)
