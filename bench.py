@@ -298,7 +298,8 @@ def main() -> None:
         a1T = np.broadcast_to(ii[None, :, None], ut.shape).ravel()
         a2T = np.broadcast_to(jj[None, :, None], ut.shape).ravel()
         scr = aw_screens_host(np.asarray(ak_re) + 1j * np.asarray(ak_im), 64)
-        max_runs = 2 * nbl + 64
+        # (pair, uv-tile) run bound: tracks split at tile crossings
+        max_runs = 8 * nbl + nT // 128 + 64
 
         @jax.jit
         def aw_idg_step(p_j, w_j, a1_j, a2_j, sre, sim, vr, vi, salt):
