@@ -308,13 +308,33 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
     screens from ``aw_screens`` split into planes; the dirty image must
     be divided by ``taper_fine``.
     """
-    N, Nx = grid_shape
-    S = subgrid
-    recs, starts, ends, y0, x0, ia1, ia2, n_dropped, (HPp, WPp) = \
+    recs, starts, ends, y0, x0, ia1, ia2, n_dropped, _ = \
         idg_aw_run_records(
-            grid_shape, p, a1, a2, w, vis_re, vis_im, subgrid=S,
+            grid_shape, p, a1, a2, w, vis_re, vis_im, subgrid=subgrid,
             support=support, max_runs=max_runs, fit_margin=fit_margin,
         )
+    g_re, g_im = idg_aw_grid_from_records(
+        recs, starts, ends, y0, x0, ia1, ia2, grid_shape, scr_re, scr_im,
+        theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        interpret=interpret,
+    )
+    return g_re, g_im, n_dropped
+
+
+def idg_aw_grid_from_records(recs, starts, ends, y0, x0, ia1, ia2,
+                             grid_shape, scr_re, scr_im, *, theta: float,
+                             subgrid: int = 64, taper_beta: float = 12.0,
+                             interpret: bool = False):
+    """IDG-AW gridding from a pre-sorted run-record stream (see
+    :func:`idg_aw_run_records`); returns (grid_re, grid_im).
+
+    Exposed separately so multi-channel runs amortize the record sort:
+    channels sharing uvw/pairs reuse the runs and swap only the vis rows
+    (``recs[:, 3:5, :]``) — the same sustained-mode contract as
+    ``idg_pallas.idg_grid_from_records``.
+    """
+    N, Nx = grid_shape
+    S = subgrid
     HP, WP2 = _geometry(N, Nx, S)
     PADM = S
 
@@ -369,7 +389,7 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
       jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32))
 
     g = out[PADM:PADM + N, 2 * PADM:2 * PADM + 2 * Nx]
-    return g[:, 0::2], g[:, 1::2], n_dropped
+    return g[:, 0::2], g[:, 1::2]
 
 
 def idg_aw_gridder_pallas(grid_shape, p, a1, a2, w, vis, screens, *,
