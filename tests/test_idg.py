@@ -852,3 +852,52 @@ class TestIDGAWDegrid:
         d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
             np.linalg.norm(np.asarray(want))
         assert d < 3e-4, d
+
+
+class TestIDGAWSustained:
+    def test_from_records_channel_swap(self, rng):
+        """The sustained-mode contract: rebinding only the vis rows of the
+        run-record stream grids a second channel exactly (the sort and
+        run geometry are uvw/pair-determined)."""
+        from ska_sdp_tpu.kernels.idg_aw_pallas import (
+            idg_aw_grid_from_records,
+            idg_aw_grid_pallas,
+            idg_aw_run_records,
+        )
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=4, ntime=48)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        s = 15
+        ak = np.zeros((4, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        sre = jnp.real(scr).astype(jnp.float32)
+        sim = jnp.imag(scr).astype(jnp.float32)
+        pj = jnp.asarray(p, jnp.float32)
+        wj = jnp.asarray(w, jnp.float32)
+        a1j = jnp.asarray(a1)
+        a2j = jnp.asarray(a2)
+        v1r = jnp.asarray(vis.real, jnp.float32)
+        v1i = jnp.asarray(vis.imag, jnp.float32)
+        vis2 = (rng.standard_normal(p.shape[0])
+                + 1j * rng.standard_normal(p.shape[0]))
+        v2r = jnp.asarray(vis2.real, jnp.float32)
+        v2i = jnp.asarray(vis2.imag, jnp.float32)
+
+        # channel-2 records via re-pack of the vis rows only
+        recs1, st, en, y0, x0, i1, i2, nd, _ = idg_aw_run_records(
+            (N, N), pj, a1j, a2j, wj, v1r, v1i, subgrid=SA, max_runs=mr)
+        recs2, *_ = idg_aw_run_records(
+            (N, N), pj, a1j, a2j, wj, v2r, v2i, subgrid=SA, max_runs=mr)
+        recs_swapped = recs1.at[:, 3:5, :].set(recs2[:, 3:5, :])
+        gr, gi = idg_aw_grid_from_records(
+            recs_swapped, st, en, y0, x0, i1, i2, (N, N), sre, sim,
+            theta=THETA, subgrid=SA, interpret=True)
+
+        gr2, gi2, nd2 = idg_aw_grid_pallas(
+            (N, N), pj, a1j, a2j, wj, v2r, v2i, sre, sim, theta=THETA,
+            subgrid=SA, max_runs=mr, interpret=True)
+        assert int(nd) == int(nd2) == 0
+        np.testing.assert_array_equal(np.asarray(gr), np.asarray(gr2))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(gi2))
