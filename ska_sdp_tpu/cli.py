@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "image-domain A-screens on pair-chunked subgrids, "
                         "~4x faster on baseline-track data) — no wkern "
                         "file needed either way")
+    p.add_argument("--aterms", action="store_true",
+                   help="--mode predict --idg: apply direction-dependent "
+                        "antenna terms from akern.h5 (IDG-AW degridding)")
     p.add_argument(
         "--backend", choices=["tpu", "cpu"], default=None,
         help="device backend; 'cpu' forces the CPU platform, 'tpu' "
@@ -186,10 +189,14 @@ def main(argv=None) -> int:
     print(time.strftime("%Y-%m-%d %H:%M:%S"), "start imaging", flush=True)
     from .models import dataset as ds
 
+    if args.aterms and not (args.mode == "predict" and args.idg):
+        print("error: --aterms requires --mode predict --idg",
+              file=sys.stderr)
+        return 1
     required = [vis_path]
     if args.mode == "w" or (args.mode == "aw" and not args.idg):
         required.append(wkern_path)
-    if args.mode == "aw":
+    if args.mode == "aw" or (args.mode == "predict" and args.aterms):
         required.append(akern_path)
     for f in required:
         if not os.path.exists(f):
@@ -211,7 +218,13 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
         if not args.model:
             print("error: --mode predict requires --model", file=sys.stderr)
             return 1
-        if args.idg:
+        if args.idg and args.aterms:
+            pred, peak = ds.aw_predict(
+                akern_path, vis_path, args.model, n=cfg.n_vis,
+                outfile=args.output, config=cfg, timer=timer,
+                subgrid=max(args.subgrid, 64),
+            )
+        elif args.idg:
             pred, peak = ds.idg_predict(
                 vis_path, args.model, n=cfg.n_vis, outfile=args.output,
                 config=cfg, timer=timer, subgrid=args.subgrid,
@@ -239,7 +252,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
         mx, _ = ds.aw_gridding(
             wkern_path, akern_path, vis_path, n=cfg.n_vis,
             outfile=args.output, old=args.old, config=cfg, timer=timer,
-            idg=args.idg,
+            idg=args.idg, fov_pad=args.fov_pad if args.idg else None,
         )
     elif args.mode == "w":
         if args.checkpoint and (args.device_phases or args.dump_intermediates):

@@ -219,32 +219,46 @@ def _wproj_pipeline(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk):
 
 @partial(complex_safe_jit,
          static_argnames=("theta", "lam", "subgrid", "taper_beta",
-                          "max_runs"))
+                          "max_runs", "fov_pad"))
 def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
-                     subgrid=64, taper_beta=12.0, max_runs=4096):
+                     subgrid=64, taper_beta=12.0, max_runs=4096,
+                     fov_pad=None):
     """IDG-AW device program: image-domain A-screens on pair-chunked
     subgrids (``ops/idg_aw.py``) — continuous w, no w-kernel bank.
+
+    ``fov_pad`` follows ``_idg_pipeline``'s padded-FOV/crop semantics
+    (the A-screens are θ-independent — integer-cell taps sampled at the
+    subgrid's own lattice — so padding only rescales the grid).
 
     Returns (img, img max, n_dropped): ``n_dropped`` is the IDG-AW
     honesty count (in-bounds records whose chunk could not cover their
     uv spread — zero for track-like layouts; the caller must surface it).
     """
     from ..kernels import idg_aw_gridder
-    from ..ops.idg import kaiser_taper, taper_fine
+    from ..ops.idg import idg_fov_pad_plan, kaiser_taper, taper_fine
 
     uvw0 = uvw_lambda(f, uvw)
-    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
+    n = int(round(theta * lam))
+    if fov_pad is not None:
+        n_grid, crop_lo = idg_fov_pad_plan(n, fov_pad)
+        theta_g = theta * n_grid / n
+    else:
+        n_grid, crop_lo = n, 0
+        theta_g = theta
+    wt = doweight(theta_g, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
-    n_grid = int(round(theta * lam))
     guv, nd = idg_aw_gridder(
         (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2], wt * vis1,
-        screens, theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        screens, theta=theta_g, subgrid=subgrid, taper_beta=taper_beta,
         max_runs=max_runs,
     )
     img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
     tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
                     ).astype(img.dtype)
     img = img / (tf[:, None] * tf[None, :])
+    if n_grid != n:
+        img = img * ((n_grid / n) ** 2)
+        img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
     return img, jnp.max(img), nd
 
 
@@ -258,6 +272,7 @@ def aw_gridding(
     config: ImagingConfig = ImagingConfig(),
     timer: Optional[PhaseTimer] = None,
     idg: bool = False,
+    fov_pad: Optional[float] = None,
 ):
     """Full AW-projection imaging run (reference ``aw_gridding``,
     ``ImageDataset.hs:29-83``).  Returns (image max, image ndarray).
@@ -302,7 +317,7 @@ def aw_gridding(
                 a1.astype(np.int32), a2.astype(np.int32),
                 np.asarray(data.frequency, prec.np_real),
                 np.asarray(data.vis[:n], prec.np_complex),
-                theta=theta, lam=lam, max_runs=max_runs,
+                theta=theta, lam=lam, max_runs=max_runs, fov_pad=fov_pad,
             )
             img = np.asarray(img)
             mx = float(mx)
@@ -615,6 +630,101 @@ def _idg_predict_pipeline(img, uvw, f, *, theta, lam, subgrid, taper_beta):
         (n, n), uvw0 / lam, uvw0[:, 2], grid, theta=theta,
         subgrid=subgrid, taper_beta=taper_beta,
     )
+
+
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "subgrid", "taper_beta",
+                          "max_runs"))
+def _aw_idg_predict_pipeline(screens, img, uvw, a1, a2, f, *, theta, lam,
+                             subgrid, taper_beta, max_runs):
+    """Model image → IDG-AW degridding: continuous-(u,v,w) prediction
+    WITH direction-dependent antenna terms (the exact adjoint of the
+    IDG-AW gridder).  Returns (vis, n_dropped)."""
+    from ..kernels import idg_aw_degridder
+    from ..ops import fft_centered
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    uvw0 = uvw_lambda(f, uvw)
+    n = int(round(theta * lam))
+    tf = taper_fine(n, subgrid, kaiser_taper(subgrid, taper_beta))
+    tf2 = (tf[:, None] * tf[None, :]).astype(img.dtype)
+    grid = fft_centered((img / tf2).astype(
+        jnp.complex64 if img.dtype == jnp.float32 else jnp.complex128))
+    return idg_aw_degridder(
+        (n, n), uvw0 / lam, a1, a2, uvw0[:, 2], grid, screens,
+        theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        max_runs=max_runs,
+    )
+
+
+def aw_predict(
+    afile: str,
+    datfile: str,
+    modelfile: str,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    subgrid: int = 64,
+    taper_beta: float = 12.0,
+):
+    """Predict visibilities with direction-dependent antenna terms via
+    IDG-AW degridding (cf. :func:`idg_predict`; screens from the akern
+    bank at the dataset's closest time/frequency).  Chunking drops are
+    surfaced like the gridding direction.  Returns (pred, peak |vis|)."""
+    import sys
+
+    from ..ops.idg_aw import aw_screens_host
+
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/akern"):
+        akerns = get_akernels(afile, theta, float(data.time[0]),
+                              data.frequency)
+    with timer.phase("ingest/model"):
+        img = np.asarray(h5.read_dataset(modelfile, schema.IMG_DATASET))
+    n_grid = int(round(theta * lam))
+    if img.shape != (n_grid, n_grid):
+        raise ValueError(
+            f"model image {img.shape} does not match grid "
+            f"({n_grid}, {n_grid}) for theta={theta}, lam={lam}"
+        )
+    n = n if n is not None else data.uvw.shape[0]
+    a1 = np.asarray(data.antenna1[:n], np.int64)
+    a2 = np.asarray(data.antenna2[:n], np.int64)
+    npair = len(np.unique(a1 * (int(a1.max(initial=0)) + 2) + a2))
+    max_runs = 8 * npair + n // 128 + 64
+    with timer.phase("h2d+compile+fft+degrid"):
+        screens = aw_screens_host(
+            np.asarray(akerns, prec.np_complex), subgrid
+        ).astype(prec.np_complex)
+        pred, nd = _aw_idg_predict_pipeline(
+            screens,
+            np.asarray(img, prec.np_real),
+            np.asarray(data.uvw[:n], prec.np_real),
+            a1.astype(np.int32), a2.astype(np.int32),
+            np.asarray(data.frequency, prec.np_real),
+            theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
+            max_runs=max_runs,
+        )
+        pred = np.asarray(pred)
+        nd = int(nd)
+    if nd > 0:
+        print(f"warning: IDG-AW predict dropped {nd}/{n} visibilities "
+              f"({100.0 * nd / max(n, 1):.2f}%) — data not track-ordered "
+              "enough for pair-chunking (predictions are 0 there)",
+              file=sys.stderr)
+    timer.times["idg_aw/dropped"] = float(nd)
+    peak = float(np.abs(pred).max()) if pred.size else 0.0
+    if outfile is not None:
+        with timer.phase("write/vis"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, "/vis/model",
+                             pred.astype(np.complex128))
+    return pred, peak
 
 
 def idg_predict(

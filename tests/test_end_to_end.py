@@ -610,3 +610,86 @@ class TestAWIDGPipeline:
         assert r.returncode == 0, r.stderr
         assert "image max:" in r.stdout
         assert "warning: IDG-AW dropped" not in r.stderr
+
+
+class TestAWPredict:
+    def test_aw_predict_delta_equals_idg_predict(self, dataset,
+                                                 imaging_config, tmp_path):
+        """With delta A-kernels the IDG-AW adjoint reduces to plain IDG
+        degridding — aw_predict == idg_predict at the same subgrid."""
+        import h5py
+
+        paths, obs = dataset
+        # model image from a w-projection run
+        model = str(tmp_path / "model.h5")
+        ds.w_gridding(paths["wkern"], paths["vis"], outfile=model,
+                      config=imaging_config)
+        # delta akern file (one time/freq slot per antenna)
+        from ska_sdp_tpu.io import h5, schema
+
+        afile = str(tmp_path / "akern_delta.h5")
+        h5.create_file(afile)
+        s = 15
+        k = np.zeros((s, s), np.complex128)
+        k[s // 2, s // 2] = 1.0
+        data = ds.load_vis_data(paths["vis"])
+        t0 = schema.fmt_float(float(data.time[0]))
+        f0 = schema.fmt_float(data.frequency)
+        for ant in range(8):
+            h5.write_dataset(
+                afile, schema.akern_dataset(CFG.theta, str(ant), t0, f0), k)
+
+        pred_aw, peak_aw = ds.aw_predict(
+            afile, paths["vis"], model, config=imaging_config, subgrid=64)
+        pred_idg, peak_idg = ds.idg_predict(
+            paths["vis"], model, config=imaging_config, subgrid=64)
+        # the two degridders share the operator but not the subgrid
+        # geometry (pair-tile chunks vs fixed tiling): each carries its
+        # own ~1e-3-class subgrid-aliasing term, amplified by the 1/taper²
+        # model division at the image edges — agreement is method-level,
+        # not bitwise (measured ~8e-3).  Exactness of the AW adjoint
+        # itself is pinned by test_idg.py::TestIDGAWDegrid.
+        rel = (np.linalg.norm(pred_aw - pred_idg)
+               / np.linalg.norm(pred_idg))
+        assert rel < 0.03, rel
+        assert abs(peak_aw - peak_idg) / peak_idg < 0.05
+
+    def test_cli_predict_aterms(self, dataset, tmp_path):
+        import os
+        import shutil
+        import subprocess
+        import sys
+
+        paths, _ = dataset
+        d = str(tmp_path / "obs")
+        os.makedirs(d)
+        for k in ("vis", "wkern", "akern"):
+            shutil.copy(paths[k], os.path.join(d, f"{k}.h5"))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        model = str(tmp_path / "model.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "w",
+             "-i", d, "--all", "--backend", "cpu", "-o", model,
+             "--theta", "0.05", "--lam", "3600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "predict",
+             "--idg", "--aterms", "-i", d, "--all", "--model", model,
+             "--backend", "cpu", "--theta", "0.05", "--lam", "3600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "peak |vis|:" in r.stdout
+        # --aterms without --idg: clean error
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "predict",
+             "--aterms", "-i", d, "--all", "--model", model,
+             "--backend", "cpu", "--theta", "0.05", "--lam", "3600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 1
+        assert "--aterms requires" in r.stderr
