@@ -11,6 +11,11 @@ dispatch and the per-step device time is reported.
 Run: PYTHONPATH=. python scripts/tpu_smoke.py   (on the TPU machine)
 Healthy round-3 signals (v5e): wproj ~30M, degrid ~27M, AW ~7M (split3
 tier), IDG ~30M, IDG degrid ~28M vis/s; parity ≤ 2e-4 everywhere.
+
+The IDG-AW kernel (late round 3: 22M single-shot / 44M sustained) is NOT
+in this smoke — its 2400² Mosaic compile takes ~17 min cold through the
+tunnel; hardware verification is `experiments/probe_idg_aw_bisect.py`
+(kernel + parity stages, small grid) and the bench's aw_idg metrics.
 """
 
 from __future__ import annotations

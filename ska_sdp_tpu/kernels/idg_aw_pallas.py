@@ -119,9 +119,10 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     vr = jnp.where(use, vis_re, 0.0).astype(f32)
     vi = jnp.where(use, vis_im, 0.0).astype(f32)
 
-    pk_s, tk_s, dy_s, dx_s, w_s, vr_s, vi_s, a1_s, a2_s = jax.lax.sort(
-        [pkey, tkey, dy, dx, w.astype(f32), vr, vi,
-         a1.astype(jnp.int32), a2.astype(jnp.int32)],
+    # 7-operand fused stable sort — a1/a2 are recovered from the pair key
+    # per RUN (max_runs-sized gathers), not carried per record
+    pk_s, tk_s, dy_s, dx_s, w_s, vr_s, vi_s = jax.lax.sort(
+        [pkey, tkey, dy, dx, w.astype(f32), vr, vi],
         num_keys=2, is_stable=True,
     )
 
@@ -132,15 +133,15 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     )
     run_id = jnp.cumsum(new_run) - 1
     overflow = run_id >= max_runs
-    rid = jnp.minimum(run_id, max_runs - 1)
     iota = jnp.arange(n, dtype=jnp.int32)
-    keep = ~overflow
-    starts = jnp.full((max_runs,), n, jnp.int32).at[
-        jnp.where(keep, rid, max_runs - 1)
-    ].min(jnp.where(keep, iota, n))
-    ends = jnp.zeros((max_runs,), jnp.int32).at[
-        jnp.where(keep, rid, max_runs - 1)
-    ].max(jnp.where(keep, iota + 1, 0))
+    # runs are contiguous in sorted order, so ONE extended scatter-min
+    # yields both CSR arrays: ends[r] = starts_ext[r+1] (overflow records
+    # land in the sentinel row, correctly terminating the last real run)
+    starts_ext = jnp.full((max_runs + 1,), n, jnp.int32).at[
+        jnp.minimum(run_id, max_runs)
+    ].min(iota)
+    starts = starts_ext[:max_runs]
+    ends = jnp.minimum(starts_ext[1:], jnp.int32(n))
     valid_s = pk_s < jnp.int32(2**30)
     n_dropped = (jnp.sum(valid & ~fit)
                  + jnp.sum(overflow & valid_s)).astype(jnp.int32)
@@ -151,8 +152,9 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     tx_r = tk_run - ty_r * ntx_t
     y0 = jnp.clip(ty_r * Tc - (S - Tc) // 2, 0, HP - S)
     x0 = jnp.clip(tx_r * Tc - (S - Tc) // 2, 0, WP - S)
-    ia1 = a1_s[f]
-    ia2 = a2_s[f]
+    pk_run = pk_s[f]
+    ia1 = pk_run // jnp.int32(2**15)
+    ia2 = pk_run - ia1 * jnp.int32(2**15)
 
     n_pad = _align(max(n, 1), chunk)
     zero = jnp.zeros((n_pad - n,), f32)
