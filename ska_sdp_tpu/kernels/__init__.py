@@ -253,11 +253,29 @@ def idg_aw_degridder(grid_shape, p, a1, a2, w, grid, screens, *,
                      taper_beta: float = 12.0, max_runs: int = 4096,
                      fit_margin: int = 0):
     """IDG-AW degridding (model predict with direction-dependent antenna
-    terms): the exact adjoint of :func:`idg_aw_gridder`.  XLA realization
-    on every backend (the chunk count is modest — the scan stays
-    MXU-batched); returns (vis, n_dropped)."""
+    terms): the exact adjoint of :func:`idg_aw_gridder`.
+
+    TPU: the run-walking resident-grid Pallas kernel
+    (``kernels/idg_aw_degrid_pallas``) when the padded grid + screens fit
+    VMEM; elsewhere the XLA realization (also the oracle).  Returns
+    (vis, n_dropped)."""
     from ..ops.idg_aw import idg_degrid_aw
 
+    if _resolved_impl() == "pallas":
+        try:
+            from .idg_aw_degrid_pallas import idg_aw_degridder_pallas
+            from .idg_aw_pallas import idg_aw_resident_fits
+
+            fits = idg_aw_resident_fits(grid_shape[0], grid_shape[1],
+                                        screens.shape[0], subgrid)
+        except ImportError:
+            fits = False
+        if fits:
+            return idg_aw_degridder_pallas(
+                grid_shape, p, a1, a2, w, grid, screens, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=max_runs, fit_margin=fit_margin,
+            )
     return idg_degrid_aw(
         grid_shape, p, a1, a2, w, grid, screens, theta=theta,
         subgrid=subgrid, support=support, taper_beta=taper_beta,

@@ -69,20 +69,13 @@ def idg_aw_resident_fits(N: int, Nx: int, nant: int, S: int = 64) -> bool:
     return acc + screens + mats + slack <= IDG_AW_VMEM_BUDGET
 
 
-def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
-                       subgrid: int = 64, chunk: int = CHUNK,
-                       support: int = 15, max_runs: int = 4096,
-                       fit_margin: int = 0):
-    """Sort records into (pair, uv-tile) runs for the run-walking kernel.
-
-    One fused stable ``lax.sort`` (keys: pair, tile) + vector ops — no
-    padded slots.  Same tile geometry as ``ops.idg_aw._chunk_pair_runs``
-    (origins are a pure function of the tile id), so the Pallas kernel
-    computes the same operator as the XLA oracle.
-
-    Returns (recs [nblk, 8, C], starts, ends, y0, x0, ia1, ia2
-    [max_runs], n_dropped, (HP, WP) padded planar geometry).
-    """
+def _record_keys(grid_shape, p, a1, a2, subgrid: int, support: int,
+                 fit_margin: int):
+    """Shared (pair, uv-tile) key/offset geometry for the IDG-AW run
+    preps (grid + degrid directions): per-record sort keys, dy/dx from
+    the record's OWN tile (origins are a pure function of the tile id),
+    validity and fit masks.  Returns (pkey, tkey, dy, dx, valid, fit,
+    Tc, ntx_t, HP, WP)."""
     N, Nx = grid_shape
     S = subgrid
     s = support
@@ -91,7 +84,6 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     assert fit_margin > 0, "subgrid too small for support + taper margin"
     PADM = S
     HP, WP = N + 2 * PADM, Nx + 2 * PADM
-    n = p.shape[0]
     f32 = jnp.float32
 
     ycf = (N // 2 + p[:, 1] * N + PADM).astype(f32)
@@ -109,12 +101,65 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     pkey = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
                      + a2.astype(jnp.int32), jnp.int32(2**30))
 
-    # per-record dy/dx from the record's OWN tile (origin = f(tile))
     y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
     x0r = jnp.clip(tx * Tc - (S - Tc) // 2, 0, WP - S)
     dy = ycf - (y0r.astype(f32) + S // 2)
     dx = xcf - (x0r.astype(f32) + S // 2)
     fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
+    return pkey, tkey, dy, dx, valid, fit, Tc, ntx_t, HP, WP
+
+
+def _run_csr(pk_s, tk_s, n: int, max_runs: int, Tc: int, ntx_t: int,
+             S: int, HP: int, WP: int):
+    """Run boundaries → extended CSR + per-run scalars from the sorted
+    key streams (one scatter-min; runs are contiguous in sorted order)."""
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         ((pk_s[1:] != pk_s[:-1])
+          | (tk_s[1:] != tk_s[:-1])).astype(jnp.int32)]
+    )
+    run_id = jnp.cumsum(new_run) - 1
+    overflow = run_id >= max_runs
+    iota = jnp.arange(n, dtype=jnp.int32)
+    starts_ext = jnp.full((max_runs + 1,), n, jnp.int32).at[
+        jnp.minimum(run_id, max_runs)
+    ].min(iota)
+    starts = starts_ext[:max_runs]
+    ends = jnp.minimum(starts_ext[1:], jnp.int32(n))
+
+    f = jnp.minimum(starts, n - 1)
+    tk_run = tk_s[f]
+    ty_r = tk_run // ntx_t
+    tx_r = tk_run - ty_r * ntx_t
+    y0 = jnp.clip(ty_r * Tc - (S - Tc) // 2, 0, HP - S)
+    x0 = jnp.clip(tx_r * Tc - (S - Tc) // 2, 0, WP - S)
+    pk_run = pk_s[f]
+    ia1 = pk_run // jnp.int32(2**15)
+    ia2 = pk_run - ia1 * jnp.int32(2**15)
+    return starts_ext, starts, ends, y0, x0, ia1, ia2, overflow
+
+
+def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
+                       subgrid: int = 64, chunk: int = CHUNK,
+                       support: int = 15, max_runs: int = 4096,
+                       fit_margin: int = 0):
+    """Sort records into (pair, uv-tile) runs for the run-walking kernel.
+
+    One fused stable ``lax.sort`` (keys: pair, tile) + vector ops — no
+    padded slots.  Same tile geometry as ``ops.idg_aw._chunk_pair_runs``
+    (origins are a pure function of the tile id), so the Pallas kernel
+    computes the same operator as the XLA oracle.
+
+    Returns (recs [nblk, 8, C], starts, ends, y0, x0, ia1, ia2
+    [max_runs], n_dropped, (HP, WP) padded planar geometry).
+    """
+    (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
+     HP, WP) = _record_keys(grid_shape, p, a1, a2, subgrid, support,
+                            fit_margin)
+    N, Nx = grid_shape
+    S = subgrid
+    n = p.shape[0]
+    f32 = jnp.float32
     use = valid & fit
     vr = jnp.where(use, vis_re, 0.0).astype(f32)
     vi = jnp.where(use, vis_im, 0.0).astype(f32)
@@ -126,35 +171,12 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
         num_keys=2, is_stable=True,
     )
 
-    new_run = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         ((pk_s[1:] != pk_s[:-1])
-          | (tk_s[1:] != tk_s[:-1])).astype(jnp.int32)]
+    starts_ext, starts, ends, y0, x0, ia1, ia2, overflow = _run_csr(
+        pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HP, WP
     )
-    run_id = jnp.cumsum(new_run) - 1
-    overflow = run_id >= max_runs
-    iota = jnp.arange(n, dtype=jnp.int32)
-    # runs are contiguous in sorted order, so ONE extended scatter-min
-    # yields both CSR arrays: ends[r] = starts_ext[r+1] (overflow records
-    # land in the sentinel row, correctly terminating the last real run)
-    starts_ext = jnp.full((max_runs + 1,), n, jnp.int32).at[
-        jnp.minimum(run_id, max_runs)
-    ].min(iota)
-    starts = starts_ext[:max_runs]
-    ends = jnp.minimum(starts_ext[1:], jnp.int32(n))
     valid_s = pk_s < jnp.int32(2**30)
     n_dropped = (jnp.sum(valid & ~fit)
                  + jnp.sum(overflow & valid_s)).astype(jnp.int32)
-
-    f = jnp.minimum(starts, n - 1)
-    tk_run = tk_s[f]
-    ty_r = tk_run // ntx_t
-    tx_r = tk_run - ty_r * ntx_t
-    y0 = jnp.clip(ty_r * Tc - (S - Tc) // 2, 0, HP - S)
-    x0 = jnp.clip(tx_r * Tc - (S - Tc) // 2, 0, WP - S)
-    pk_run = pk_s[f]
-    ia1 = pk_run // jnp.int32(2**15)
-    ia2 = pk_run - ia1 * jnp.int32(2**15)
 
     n_pad = _align(max(n, 1), chunk)
     zero = jnp.zeros((n_pad - n,), f32)

@@ -901,3 +901,85 @@ class TestIDGAWSustained:
         assert int(nd) == int(nd2) == 0
         np.testing.assert_array_equal(np.asarray(gr), np.asarray(gr2))
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(gi2))
+
+
+class TestIDGAWDegridPallas:
+    def test_interpret_matches_xla_oracle(self, rng):
+        """Pallas IDG-AW degridder (interpret mode) vs the XLA adjoint on
+        identical float32 inputs — same run geometry, same screens."""
+        from ska_sdp_tpu.kernels.idg_aw_degrid_pallas import (
+            idg_aw_degridder_pallas,
+        )
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_degrid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        s = 15
+        ak = np.zeros((5, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((5, 5, 5))
+            + 1j * rng.standard_normal((5, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        G = (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        pj = jnp.asarray(p, jnp.float32)
+        wj = jnp.asarray(w, jnp.float32)
+        a1j = jnp.asarray(a1)
+        a2j = jnp.asarray(a2)
+
+        want, nd_w = idg_degrid_aw(
+            (N, N), pj, a1j, a2j, wj, jnp.asarray(G), scr, theta=THETA,
+            subgrid=SA, max_runs=mr,
+        )
+        got, nd_g = idg_aw_degridder_pallas(
+            (N, N), pj, a1j, a2j, wj, jnp.asarray(G), scr, theta=THETA,
+            subgrid=SA, max_runs=mr, interpret=True,
+        )
+        assert int(nd_w) == int(nd_g) == 0
+        d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
+            np.linalg.norm(np.asarray(want))
+        assert d < 2e-5, d
+
+    def test_interpret_multiblock_and_oob(self, rng):
+        """Runs spanning several record blocks (head + streamed main +
+        drain) plus OOB records exercising the epilogue masks."""
+        from ska_sdp_tpu.kernels.idg_aw_degrid_pallas import (
+            idg_aw_degridder_pallas,
+        )
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_degrid_aw
+
+        b = 4000
+        p = np.zeros((b, 3), np.float32)
+        # one pair, tight cluster -> one run with ~16 blocks
+        p[:, 0] = 0.1 + rng.uniform(-5 / N, 5 / N, b)
+        p[:, 1] = -0.2 + rng.uniform(-5 / N, 5 / N, b)
+        p[::97, 0] = 0.55                     # sprinkle OOB records
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        a1 = np.zeros(b, np.int32)
+        a2 = np.ones(b, np.int32)
+        s = 15
+        ak = np.zeros((2, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        G = (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+
+        want, nd_w = idg_degrid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(G), scr, theta=THETA, subgrid=SA,
+            max_runs=64,
+        )
+        got, nd_g = idg_aw_degridder_pallas(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(G), scr, theta=THETA, subgrid=SA,
+            max_runs=64, interpret=True,
+        )
+        assert int(nd_w) == int(nd_g)
+        oob = np.zeros(b, bool)
+        oob[::97] = True
+        assert np.all(np.asarray(got)[oob] == 0)
+        d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
+            np.linalg.norm(np.asarray(want))
+        assert d < 2e-5, d
