@@ -222,7 +222,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             pred, peak = ds.aw_predict(
                 akern_path, vis_path, args.model, n=cfg.n_vis,
                 outfile=args.output, config=cfg, timer=timer,
-                subgrid=max(args.subgrid, 64),
+                subgrid=args.subgrid,
             )
         elif args.idg:
             pred, peak = ds.idg_predict(
@@ -253,6 +253,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             wkern_path, akern_path, vis_path, n=cfg.n_vis,
             outfile=args.output, old=args.old, config=cfg, timer=timer,
             idg=args.idg, fov_pad=args.fov_pad if args.idg else None,
+            subgrid=args.subgrid if args.idg else 64,
         )
     elif args.mode == "w":
         if args.checkpoint and (args.device_phases or args.dump_intermediates):

@@ -36,8 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.idg_aw import _record_keys
 from .idg_aw_pallas import (CHUNK, IDG_AW_VMEM_BUDGET, _align, _geometry,
-                            _record_keys, _run_csr)
+                            _run_csr)
 
 
 def idg_aw_degrid_records(grid_shape, p, a1, a2, w, *, subgrid: int = 64,
@@ -62,9 +63,11 @@ def idg_aw_degrid_records(grid_shape, p, a1, a2, w, *, subgrid: int = 64,
     starts_ext, starts, ends, y0, x0, ia1, ia2, overflow = _run_csr(
         pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HP, WP
     )
-    valid_s = pk_s < jnp.int32(2**30)
+    # disjoint by construction (sentinel-keyed unfit records; see
+    # ops.idg_aw._record_keys)
+    placeable_s = pk_s < jnp.int32(2**30)
     n_dropped = (jnp.sum(valid & ~fit)
-                 + jnp.sum(overflow & valid_s)).astype(jnp.int32)
+                 + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
     use = valid & fit
 
     n_pad = _align(max(n, 1), chunk)

@@ -41,6 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.idg_aw import _record_keys
 from .wproj_pallas import _align
 
 CHUNK = 256
@@ -67,46 +68,6 @@ def idg_aw_resident_fits(N: int, Nx: int, nant: int, S: int = 64) -> bool:
     mats = 6 * S * 2 * S * 4
     slack = 8 * 1024 * 1024
     return acc + screens + mats + slack <= IDG_AW_VMEM_BUDGET
-
-
-def _record_keys(grid_shape, p, a1, a2, subgrid: int, support: int,
-                 fit_margin: int):
-    """Shared (pair, uv-tile) key/offset geometry for the IDG-AW run
-    preps (grid + degrid directions): per-record sort keys, dy/dx from
-    the record's OWN tile (origins are a pure function of the tile id),
-    validity and fit masks.  Returns (pkey, tkey, dy, dx, valid, fit,
-    Tc, ntx_t, HP, WP)."""
-    N, Nx = grid_shape
-    S = subgrid
-    s = support
-    if fit_margin == 0:
-        fit_margin = S // 2 - s // 2 - 12
-    assert fit_margin > 0, "subgrid too small for support + taper margin"
-    PADM = S
-    HP, WP = N + 2 * PADM, Nx + 2 * PADM
-    f32 = jnp.float32
-
-    ycf = (N // 2 + p[:, 1] * N + PADM).astype(f32)
-    xcf = (Nx // 2 + p[:, 0] * Nx + PADM).astype(f32)
-    yc = jnp.floor(ycf - PADM + 0.5).astype(jnp.int32)
-    xc = jnp.floor(xcf - PADM + 0.5).astype(jnp.int32)
-    valid = ((yc - s // 2 > -s) & (yc - s // 2 < N)
-             & (xc - s // 2 > -s) & (xc - s // 2 < Nx))
-
-    Tc = max(2 * fit_margin - 2, 8)
-    ty = jnp.clip(ycf, 0, HP - 1).astype(jnp.int32) // Tc
-    tx = jnp.clip(xcf, 0, WP - 1).astype(jnp.int32) // Tc
-    ntx_t = WP // Tc + 1
-    tkey = ty * ntx_t + tx
-    pkey = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
-                     + a2.astype(jnp.int32), jnp.int32(2**30))
-
-    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
-    x0r = jnp.clip(tx * Tc - (S - Tc) // 2, 0, WP - S)
-    dy = ycf - (y0r.astype(f32) + S // 2)
-    dx = xcf - (x0r.astype(f32) + S // 2)
-    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
-    return pkey, tkey, dy, dx, valid, fit, Tc, ntx_t, HP, WP
 
 
 def _run_csr(pk_s, tk_s, n: int, max_runs: int, Tc: int, ntx_t: int,
@@ -174,9 +135,11 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     starts_ext, starts, ends, y0, x0, ia1, ia2, overflow = _run_csr(
         pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HP, WP
     )
-    valid_s = pk_s < jnp.int32(2**30)
+    # disjoint by construction: unfit records carry the sentinel key, so
+    # the overflow term (placeable keys only) never re-counts them
+    placeable_s = pk_s < jnp.int32(2**30)
     n_dropped = (jnp.sum(valid & ~fit)
-                 + jnp.sum(overflow & valid_s)).astype(jnp.int32)
+                 + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
 
     n_pad = _align(max(n, 1), chunk)
     zero = jnp.zeros((n_pad - n,), f32)

@@ -235,16 +235,11 @@ def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
     uv spread — zero for track-like layouts; the caller must surface it).
     """
     from ..kernels import idg_aw_gridder
-    from ..ops.idg import idg_fov_pad_plan, kaiser_taper, taper_fine
+    from ..ops.idg import (fov_pad_finish, fov_pad_geometry, kaiser_taper,
+                           taper_fine)
 
     uvw0 = uvw_lambda(f, uvw)
-    n = int(round(theta * lam))
-    if fov_pad is not None:
-        n_grid, crop_lo = idg_fov_pad_plan(n, fov_pad)
-        theta_g = theta * n_grid / n
-    else:
-        n_grid, crop_lo = n, 0
-        theta_g = theta
+    n, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
     wt = doweight(theta_g, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
     guv, nd = idg_aw_gridder(
@@ -256,9 +251,7 @@ def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
     tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
                     ).astype(img.dtype)
     img = img / (tf[:, None] * tf[None, :])
-    if n_grid != n:
-        img = img * ((n_grid / n) ** 2)
-        img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
+    img = fov_pad_finish(img, n, n_grid, crop_lo)
     return img, jnp.max(img), nd
 
 
@@ -273,6 +266,7 @@ def aw_gridding(
     timer: Optional[PhaseTimer] = None,
     idg: bool = False,
     fov_pad: Optional[float] = None,
+    subgrid: int = 64,
 ):
     """Full AW-projection imaging run (reference ``aw_gridding``,
     ``ImageDataset.hs:29-83``).  Returns (image max, image ndarray).
@@ -302,14 +296,23 @@ def aw_gridding(
 
         a1 = np.asarray(data.antenna1[:n], np.int64)
         a2 = np.asarray(data.antenna2[:n], np.int64)
-        npair = len(np.unique(a1 * (int(a1.max(initial=0)) + 2) + a2))
+        nant_b = int(max(a1.max(initial=0), a2.max(initial=0))) + 2
+        npair = len(np.unique(a1 * nant_b + a2))
         # run bound: each pair's track splits at coarse-uv-tile crossings
         # (a handful per pair for smooth tracks); overflow is counted and
         # warned, so a generous static bound costs only skipped chunks
         max_runs = 8 * npair + n // 128 + 64
+        # screens must be sampled at the GRIDDING FOV's angular scale —
+        # with fov_pad the grid FOV is theta·n_pad/n (aw_screens_host
+        # docstring; delta stamps are scale-invariant, real ones are not)
+        from ..ops.idg import fov_pad_geometry
+
+        n_t, n_g, _, _ = fov_pad_geometry(theta, lam, fov_pad)
+        fov_scale = n_g / n_t
         with timer.phase("h2d+compile+grid+fft"):
             screens = aw_screens_host(
-                np.asarray(akerns, prec.np_complex), 64
+                np.asarray(akerns, prec.np_complex), subgrid,
+                fov_scale=fov_scale,
             ).astype(prec.np_complex)
             img, mx, nd = _aw_idg_pipeline(
                 screens,
@@ -318,6 +321,7 @@ def aw_gridding(
                 np.asarray(data.frequency, prec.np_real),
                 np.asarray(data.vis[:n], prec.np_complex),
                 theta=theta, lam=lam, max_runs=max_runs, fov_pad=fov_pad,
+                subgrid=subgrid,
             )
             img = np.asarray(img)
             mx = float(mx)
@@ -330,7 +334,7 @@ def aw_gridding(
                   "exceeded their pair-chunk's subgrid — the data is not "
                   "track-ordered enough for IDG-AW; use the fused AW mode",
                   file=sys.stderr)
-        timer.times["idg_aw/dropped"] = float(nd)
+        timer.counters["idg_aw/dropped"] = float(nd)
     else:
         with timer.phase("h2d+compile+grid+fft"):
             # complex data stays numpy until the complex-safe jit boundary
@@ -411,6 +415,10 @@ def w_gridding(
                 lam=lam,
                 chunk=min(8192, max(256, n)),
             )
+            # the blocking fetch belongs INSIDE the phase: jit dispatch is
+            # async, so without it the phase measures only trace/dispatch
+            img = np.asarray(img)
+            mx = float(mx)
     img = np.asarray(img)
     mx = float(mx)
 
@@ -429,15 +437,10 @@ def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer,
     from functools import partial as _partial
 
     from .. import kernels
-    from ..ops.idg import idg_fov_pad_plan, kaiser_taper, taper_fine
+    from ..ops.idg import (fov_pad_finish, fov_pad_geometry, kaiser_taper,
+                           taper_fine)
 
-    n = int(round(theta * lam))
-    if fov_pad is not None:
-        n_grid, crop_lo = idg_fov_pad_plan(n, fov_pad)
-        theta_g = theta * n_grid / n
-    else:
-        n_grid, crop_lo = n, 0
-        theta_g = theta
+    n, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
     timer.dispatch_floor()
 
     @_partial(jax.jit, static_argnames=("theta", "lam"))
@@ -455,9 +458,7 @@ def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer,
         tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
                         ).astype(img.dtype)
         img = img / (tf[:, None] * tf[None, :])
-        if n_grid != n:
-            img = img * ((n_grid / n) ** 2)
-            img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
+        img = fov_pad_finish(img, n, n_grid, crop_lo)
         return img, jnp.max(img)
 
     vr = np.ascontiguousarray(np.asarray(vis).real)
@@ -522,16 +523,11 @@ def _idg_pipeline(uvw, f, vis, *, theta, lam, subgrid, taper_beta,
     quantifiably accurate inside ~75–87% of the image radius.
     """
     from ..kernels import idg_gridder
-    from ..ops.idg import idg_fov_pad_plan, kaiser_taper, taper_fine
+    from ..ops.idg import (fov_pad_finish, fov_pad_geometry, kaiser_taper,
+                           taper_fine)
 
     uvw0 = uvw_lambda(f, uvw)
-    n = int(round(theta * lam))
-    if fov_pad is not None:
-        n_pad, crop_lo = idg_fov_pad_plan(n, fov_pad)
-        theta_g = theta * n_pad / n
-    else:
-        n_pad, crop_lo = n, 0
-        theta_g = theta
+    n, n_pad, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
     wt = doweight(theta_g, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
     guv = idg_gridder((n_pad, n_pad), uvw1 / lam, uvw1[:, 2], wt * vis1,
@@ -540,11 +536,7 @@ def _idg_pipeline(uvw, f, vis, *, theta, lam, subgrid, taper_beta,
     tf = taper_fine(n_pad, subgrid, kaiser_taper(subgrid, taper_beta))
     tf = tf.astype(img.dtype)
     img = img / (tf[:, None] * tf[None, :])
-    if n_pad != n:
-        # the centered iFFT scales by 1/n_pad²; restore the target-grid
-        # normalization so padded and plain runs share the image scale
-        img = img * ((n_pad / n) ** 2)
-        img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
+    img = fov_pad_finish(img, n, n_pad, crop_lo)
     return img, jnp.max(img)
 
 
@@ -590,8 +582,9 @@ def idg_gridding(
                 theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
                 fov_pad=fov_pad,
             )
-        img = np.asarray(img)
-        mx = float(mx)
+            # blocking fetch inside the phase (async jit dispatch)
+            img = np.asarray(img)
+            mx = float(mx)
     if outfile is not None:
         with timer.phase("write/img"):
             h5.create_file(outfile)
@@ -695,7 +688,8 @@ def aw_predict(
     n = n if n is not None else data.uvw.shape[0]
     a1 = np.asarray(data.antenna1[:n], np.int64)
     a2 = np.asarray(data.antenna2[:n], np.int64)
-    npair = len(np.unique(a1 * (int(a1.max(initial=0)) + 2) + a2))
+    nant_b = int(max(a1.max(initial=0), a2.max(initial=0))) + 2
+    npair = len(np.unique(a1 * nant_b + a2))
     max_runs = 8 * npair + n // 128 + 64
     with timer.phase("h2d+compile+fft+degrid"):
         screens = aw_screens_host(
@@ -717,7 +711,7 @@ def aw_predict(
               f"({100.0 * nd / max(n, 1):.2f}%) — data not track-ordered "
               "enough for pair-chunking (predictions are 0 there)",
               file=sys.stderr)
-    timer.times["idg_aw/dropped"] = float(nd)
+    timer.counters["idg_aw/dropped"] = float(nd)
     peak = float(np.abs(pred).max()) if pred.size else 0.0
     if outfile is not None:
         with timer.phase("write/vis"):

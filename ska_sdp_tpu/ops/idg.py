@@ -216,6 +216,27 @@ def idg_fov_pad_plan(N: int, fov_fraction: float):
     return N + extra, extra // 2
 
 
+def fov_pad_geometry(theta: float, lam: int, fov_pad):
+    """One shared padded-FOV plan for every IDG-family pipeline: returns
+    (n_target, n_grid, theta_grid, crop_lo).  ``fov_pad=None`` → plain
+    FOV.  Keep the companion :func:`fov_pad_finish` in sync."""
+    n = int(round(theta * lam))
+    if fov_pad is not None:
+        n_grid, crop_lo = idg_fov_pad_plan(n, fov_pad)
+        return n, n_grid, theta * n_grid / n, crop_lo
+    return n, n, theta, 0
+
+
+def fov_pad_finish(img, n: int, n_grid: int, crop_lo: int):
+    """Rescale + center-crop a padded-FOV dirty image back to the target
+    grid (the centered iFFT scales by 1/n_grid²; restore the target-grid
+    normalization so padded and plain runs share the image scale)."""
+    if n_grid == n:
+        return img
+    img = img * ((n_grid / n) ** 2)
+    return img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
+
+
 def _dft_matrix(S: int, dtype):
     """Centered forward DFT matrix: F[y, q] = e^{-2πi (y-S/2)(q-S/2)/S}.
 

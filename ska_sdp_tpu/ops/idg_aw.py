@@ -59,14 +59,21 @@ from .idg import _dft_matrix, kaiser_taper
 CHUNK_AW = 128
 
 
-def aw_screens(akerns, S: int, dtype=jnp.complex64):
+def aw_screens(akerns, S: int, dtype=jnp.complex64, fov_scale: float = 1.0):
     """Image-domain antenna screens on the S-point subgrid image grid.
 
-    ``akerns``: [nant, s, s] uv-domain A-kernel stamps (integer-cell taps,
-    the dataset layout the bank path consumes).  Returns [nant, S, S]
-    screens a(l_q, m_r) = Σ_{j,i} ak[j,i]·e^{-2πi[(j-s/2)(q-S/2)+(i-s/2)(r-S/2)]/S}
+    ``akerns``: [nant, s, s] uv-domain A-kernel stamps — integer-cell
+    taps on the TARGET-θ uv lattice (spacing 1/θ, the dataset layout the
+    bank path consumes).  Returns [nant, S, S] screens
+    a(l_q, m_r) = Σ_{j,i} ak[j,i]·e^{-2πi·fov_scale·[(j-s/2)(q-S/2)+(i-s/2)(r-S/2)]/S}
     — the centered synthesis transform matching ``ifft_centered``'s
     analysis convention, so a delta stamp gives the unit screen.
+
+    ``fov_scale`` = θ_grid/θ: when gridding a PADDED FOV (``fov_pad``),
+    subgrid pixel q sits at l = (q-S/2)·θ_grid/S while the taps live on
+    the 1/θ lattice, so the phase carries the ratio — without it the
+    applied antenna pattern would be angularly dilated by θ_grid/θ
+    (screens are only θ-independent for delta stamps).
 
     Row/col orientation follows the bank kernels: axis -2 = y (m), -1 = x
     (l).  The GRIDDING screen is ``conj(a1)·conj(a2)`` (the bank path
@@ -76,12 +83,12 @@ def aw_screens(akerns, S: int, dtype=jnp.complex64):
     ftype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     j = jnp.arange(s, dtype=ftype) - s // 2
     q = jnp.arange(S, dtype=ftype) - S // 2
-    E = jnp.exp(-2j * jnp.pi / S * jnp.outer(q, j).astype(ftype)
+    E = jnp.exp(-2j * jnp.pi * fov_scale / S * jnp.outer(q, j).astype(ftype)
                 ).astype(dtype)
     return jnp.einsum("qj,ajk,rk->aqr", E, akerns.astype(dtype), E)
 
 
-def aw_screens_host(akerns, S: int) -> "np.ndarray":
+def aw_screens_host(akerns, S: int, fov_scale: float = 1.0) -> "np.ndarray":
     """Host-side numpy twin of :func:`aw_screens` — model drivers build
     screens BEFORE the jit boundary because the axon TPU PJRT path cannot
     transfer complex dtypes eagerly (``utils/cplx.py``); the complex
@@ -90,8 +97,53 @@ def aw_screens_host(akerns, S: int) -> "np.ndarray":
     s = ak.shape[-1]
     j = np.arange(s) - s // 2
     q = np.arange(S) - S // 2
-    E = np.exp(-2j * np.pi / S * np.outer(q, j))
+    E = np.exp(-2j * np.pi * fov_scale / S * np.outer(q, j))
     return np.einsum("qj,ajk,rk->aqr", E, ak, E)
+
+
+def _record_keys(grid_shape, p, a1, a2, subgrid: int, support: int,
+                 fit_margin: int, rdt=None):
+    """Shared (pair, uv-tile) key/offset geometry for every IDG-AW prep
+    (XLA oracle + Pallas grid/degrid): per-record sort keys, dy/dx from
+    the record's OWN tile (origins are a pure function of the tile id),
+    validity and fit masks.  Records that are OOB **or unfit** carry the
+    sentinel key 2^30 — they form tail runs that are never gridded, so
+    drop accounting never double-counts a record as both unfit and
+    overflowed.  Returns (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
+    HP, WP)."""
+    N, Nx = grid_shape
+    S = subgrid
+    s = support
+    if fit_margin == 0:
+        fit_margin = S // 2 - s // 2 - 12
+    assert fit_margin > 0, "subgrid too small for support + taper margin"
+    PADM = S
+    HP, WP = N + 2 * PADM, Nx + 2 * PADM
+    if rdt is None:
+        rdt = jnp.float32
+
+    ycf = (N // 2 + p[:, 1] * N + PADM).astype(rdt)
+    xcf = (Nx // 2 + p[:, 0] * Nx + PADM).astype(rdt)
+    yc = jnp.floor(ycf - PADM + 0.5).astype(jnp.int32)
+    xc = jnp.floor(xcf - PADM + 0.5).astype(jnp.int32)
+    valid = ((yc - s // 2 > -s) & (yc - s // 2 < N)
+             & (xc - s // 2 > -s) & (xc - s // 2 < Nx))
+
+    Tc = max(2 * fit_margin - 2, 8)
+    ty = jnp.clip(ycf, 0, HP - 1).astype(jnp.int32) // Tc
+    tx = jnp.clip(xcf, 0, WP - 1).astype(jnp.int32) // Tc
+    ntx_t = WP // Tc + 1
+    tkey = ty * ntx_t + tx
+
+    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
+    x0r = jnp.clip(tx * Tc - (S - Tc) // 2, 0, WP - S)
+    dy = ycf - (y0r.astype(rdt) + S // 2)
+    dx = xcf - (x0r.astype(rdt) + S // 2)
+    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
+    pkey = jnp.where(valid & fit,
+                     a1.astype(jnp.int32) * jnp.int32(2**15)
+                     + a2.astype(jnp.int32), jnp.int32(2**30))
+    return pkey, tkey, dy, dx, valid, fit, Tc, ntx_t, HP, WP
 
 
 def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
@@ -108,38 +160,21 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
 
     Returns (dy, dx, wv, vv [n_chunks, chunk], y0, x0, ia1, ia2
     [n_chunks], n_dropped, geometry (S, PADM, HP, WP, n_chunks),
-    maps (order, src, ok2, valid) — the slot↔record correspondence the
-    degrid epilogue inverts).
+    maps (order, src, ok2, use) — the slot↔record correspondence the
+    degrid epilogue inverts; ``use`` masks OOB and unfit outputs to 0).
 
     ``n_dropped`` counts in-bounds records that could not be gridded:
     run overflow past ``max_runs`` plus residual fit failures — zero when
     ``max_runs`` covers the data's (pair, tile) run count.
     """
-    N, Nx = grid_shape
     S = subgrid
-    s = support
-    PADM = S
-    HP, WP = N + 2 * PADM, Nx + 2 * PADM
     n = p.shape[0]
     rdt = jnp.float64 if vis.dtype == jnp.complex128 else jnp.float32
-
-    # continuous padded-grid positions + the usual support-OOB validity
-    ycf = (N // 2 + p[:, 1] * N + PADM).astype(rdt)
-    xcf = (Nx // 2 + p[:, 0] * Nx + PADM).astype(rdt)
-    yc = jnp.floor(ycf - PADM + 0.5).astype(jnp.int32)
-    xc = jnp.floor(xcf - PADM + 0.5).astype(jnp.int32)
-    y0s = yc - s // 2
-    x0s = xc - s // 2
-    valid = (y0s > -s) & (y0s < N) & (x0s > -s) & (x0s < Nx)
-
-    # coarse uv tile: chunks confined to one tile have spread < 2·margin
-    Tc = max(2 * fit_margin - 2, 8)
-    ty = jnp.clip(ycf, 0, HP - 1).astype(jnp.int32) // Tc
-    tx = jnp.clip(xcf, 0, WP - 1).astype(jnp.int32) // Tc
-    ntx_t = WP // Tc + 1
-    tkey = ty * ntx_t + tx
-    pkey = jnp.where(valid, a1.astype(jnp.int32) * jnp.int32(2**15)
-                     + a2.astype(jnp.int32), jnp.int32(2**30))
+    (pkey, tkey, dyr, dxr, valid, fit, Tc, ntx_t,
+     HP, WP) = _record_keys(grid_shape, p, a1, a2, S, support, fit_margin,
+                            rdt=rdt)
+    PADM = S
+    use = valid & fit
 
     # composite stable sort: tile-major within pair-major — two stable
     # passes (int32 keys; a single composite key would overflow int32)
@@ -147,11 +182,11 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     order = o1[jnp.argsort(pkey[o1], stable=True)]
     key_s = pkey[order]
     tkey_s = tkey[order]
-    valid_s = valid[order]
-    ycf_s = ycf[order]
-    xcf_s = xcf[order]
+    use_s = use[order]
+    dy_s = dyr[order]
+    dx_s = dxr[order]
     w_s = w[order].astype(rdt)
-    vis_s = jnp.where(valid, vis, 0)[order]
+    vis_s = jnp.where(use, vis, 0)[order]
     a1_s = a1[order].astype(jnp.int32)
     a2_s = a2[order].astype(jnp.int32)
 
@@ -188,10 +223,9 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     src = jnp.where(ok, starts_j + local, 0)
 
     # chunk origin: a pure function of the chunk's uv TILE — the subgrid
-    # centered on the tile (records of one tile fit by construction, so
-    # the fit test is a pure safety net; no data-dependent reductions)
-    yv = ycf_s[src]
-    xv = xcf_s[src]
+    # centered on the tile; per-record dy/dx come straight from
+    # _record_keys (unfit/OOB records carry the sentinel key, so real
+    # runs contain only placeable records by construction)
     first = src.reshape(n_chunks, chunk)[:, 0]
     tk_c = tkey_s[first]
     ty_c = tk_c // ntx_t
@@ -199,9 +233,8 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     y0 = jnp.clip(ty_c * Tc - (S - Tc) // 2, 0, HP - S)
     x0 = jnp.clip(tx_c * Tc - (S - Tc) // 2, 0, WP - S)
 
-    dy = yv.reshape(n_chunks, chunk) - (y0[:, None].astype(rdt) + S // 2)
-    dx = xv.reshape(n_chunks, chunk) - (x0[:, None].astype(rdt) + S // 2)
-    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
+    dy = dy_s[src].reshape(n_chunks, chunk)
+    dx = dx_s[src].reshape(n_chunks, chunk)
 
     # chunk pair ids: first padded slot of every chunk is a real record
     # whenever the chunk has any (run-padding appends at run tails)
@@ -210,18 +243,21 @@ def _chunk_pair_runs(grid_shape, p, a1, a2, w, vis, *, subgrid: int,
     pair_match = (a1_s[src].reshape(n_chunks, chunk) == ia1[:, None]) & \
                  (a2_s[src].reshape(n_chunks, chunk) == ia2[:, None])
 
-    ok2 = ok.reshape(n_chunks, chunk) & fit & pair_match
+    use_slot = use_s[src].reshape(n_chunks, chunk)
+    ok2 = ok.reshape(n_chunks, chunk) & pair_match & use_slot
     vv = (vis_s[src].reshape(n_chunks, chunk)
           * ok2.astype(vis.dtype))
     wv = w_s[src].reshape(n_chunks, chunk)
-    # honesty count: records the caller COULD grid (in-bounds) that the
-    # pair-chunking failed to place — OOB records are the usual silent
-    # drop every gridding mode applies, not a chunking failure
-    valid_slot = valid_s[src].reshape(n_chunks, chunk)
-    n_dropped = (jnp.sum(ok.reshape(n_chunks, chunk) & valid_slot & ~ok2)
-                 + jnp.sum(overflow & valid_s))
+    # honesty count (disjoint terms): in-bounds records the chunking
+    # could not place — fit failures (sentinel-keyed, never in real
+    # runs), run overflow of placeable records, and the residual
+    # chunk-level safety net.  OOB records are the usual silent drop
+    # every gridding mode applies, not a chunking failure.
+    n_dropped = (jnp.sum(valid & ~fit)
+                 + jnp.sum(overflow & use_s)
+                 + jnp.sum(ok.reshape(n_chunks, chunk) & use_slot & ~ok2))
     geom = (S, PADM, HP, WP, n_chunks)
-    maps = (order, src, ok2.reshape(-1), valid)
+    maps = (order, src, ok2.reshape(-1), use)
     return dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, maps
 
 
@@ -413,7 +449,7 @@ def idg_degrid_aw(grid_shape, p, a1, a2, w, grid, screens, *, theta: float,
 
     # unsort: padded slot -> sorted position -> original order (the
     # ``idg_degrid_wproj`` epilogue on the chunking's own maps)
-    order, src, ok2, valid = maps
+    order, src, ok2, use = maps
     sorted_v = jnp.zeros((n,), cdt).at[
         jnp.where(ok2, src, n)
     ].set(v_slots, mode="drop")
@@ -421,4 +457,4 @@ def idg_degrid_aw(grid_shape, p, a1, a2, w, grid, screens, *, theta: float,
         [order, jnp.real(sorted_v), jnp.imag(sorted_v)], num_keys=1
     )
     out = jax.lax.complex(v_re, v_im).astype(cdt)
-    return jnp.where(valid, out, 0), n_dropped
+    return jnp.where(use, out, 0), n_dropped

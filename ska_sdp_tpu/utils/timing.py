@@ -27,6 +27,9 @@ class PhaseTimer:
         self.enabled = enabled
         self.trace_dir = trace_dir
         self.times: Dict[str, float] = {}
+        # non-time observables (e.g. drop counts) — kept out of `times`
+        # so report()/metrics never render a count with an "ms" suffix
+        self.counters: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def phase(self, name: str):

@@ -567,7 +567,7 @@ class TestAWIDGPipeline:
             paths["wkern"], paths["akern"], paths["vis"],
             config=imaging_config, idg=True, timer=t,
         )
-        assert t.times.get("idg_aw/dropped") == 0.0
+        assert t.counters.get("idg_aw/dropped") == 0.0
         scale = np.abs(img_aw).max()
         assert np.abs(img_idg - img_aw).max() < 0.25 * scale
         assert mx_idg > 0

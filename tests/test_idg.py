@@ -983,3 +983,45 @@ class TestIDGAWDegridPallas:
         d = np.linalg.norm(np.asarray(got) - np.asarray(want)) / \
             np.linalg.norm(np.asarray(want))
         assert d < 2e-5, d
+
+
+class TestIDGAWFovPad:
+    def test_fov_pad_with_offcenter_akerns_matches_truth(self, rng):
+        """Padded-FOV IDG-AW with NON-delta A-kernels: screens must be
+        sampled at the gridding FOV's angular scale (``fov_scale``), not
+        the target FOV's — without the ratio the applied antenna pattern
+        is angularly dilated by 1/fov_pad (review r3)."""
+        from ska_sdp_tpu.ops.idg import (fov_pad_geometry, kaiser_taper,
+                                         taper_fine)
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=4, ntime=48)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        s = 15
+        ak = np.zeros((4, s, s), np.complex128)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 3:c + 4, c - 3:c + 4] += 0.2 * (
+            rng.standard_normal((4, 7, 7))
+            + 1j * rng.standard_normal((4, 7, 7)))
+
+        lam = N / THETA
+        n, n_pad, theta_g, crop_lo = fov_pad_geometry(THETA, lam, 0.75)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex128,
+                         fov_scale=n_pad / n)
+        g, nd = idg_grid_aw(
+            (n_pad, n_pad), jnp.asarray(p), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w), jnp.asarray(vis), scr,
+            theta=theta_g, subgrid=SA, max_runs=mr,
+        )
+        assert int(nd) == 0
+        tf = np.asarray(taper_fine(n_pad, SA, kaiser_taper(SA, BETA)))
+        img = np.asarray(ifft_centered(np.asarray(g))).real / np.outer(tf, tf)
+        img = img * ((n_pad / n) ** 2)
+        img = img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
+
+        truth = _screen_truth_image(p, w, a1, a2, vis, _fine_screens(ak))
+        # full target FOV (that is what fov_pad buys); complex dirty image
+        # vs real part of truth
+        d = np.linalg.norm(img - truth.real) / np.linalg.norm(truth.real)
+        assert d < 2e-3, d
