@@ -235,7 +235,8 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
                 outfile=args.output, config=cfg, timer=timer,
             )
         print(f"predicted {pred.shape[0]} visibilities, peak |vis|: {peak}")
-        metrics.emit("run/done", peak_vis=peak, phases=timer.times)
+        metrics.emit("run/done", peak_vis=peak, phases=timer.times,
+                     counters=timer.counters)
         return 0
 
     if args.mode == "idg":
@@ -245,7 +246,8 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             device_phases=args.device_phases,
         )
         print(f"image max: {mx}")
-        metrics.emit("run/done", image_max=mx, phases=timer.times)
+        metrics.emit("run/done", image_max=mx, phases=timer.times,
+                     counters=timer.counters)
         return 0
 
     if args.mode == "aw":
@@ -345,7 +347,8 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
                 args.output, schema.IMG_DATASET, np.asarray(res.image)
             )
     print(f"image max: {mx}")
-    metrics.emit("run/done", image_max=mx, phases=timer.times)
+    metrics.emit("run/done", image_max=mx, phases=timer.times,
+                 counters=timer.counters)
     return 0
 
 
