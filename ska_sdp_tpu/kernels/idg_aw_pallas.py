@@ -81,10 +81,12 @@ def _run_csr(pk_s, tk_s, n: int, max_runs: int, Tc: int, ntx_t: int,
     )
     run_id = jnp.cumsum(new_run) - 1
     overflow = run_id >= max_runs
-    iota = jnp.arange(n, dtype=jnp.int32)
-    starts_ext = jnp.full((max_runs + 1,), n, jnp.int32).at[
-        jnp.minimum(run_id, max_runs)
-    ].min(iota)
+    # run_id is sorted (cumsum of a 0/1 mask), so the extended CSR is a
+    # searchsorted — a 1M-element scatter-min here measured ~10 ms/Mvis,
+    # a third of the whole prep (BENCH.md round-3 primitive table)
+    starts_ext = jnp.searchsorted(
+        run_id, jnp.arange(max_runs + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
     starts = starts_ext[:max_runs]
     ends = jnp.minimum(starts_ext[1:], jnp.int32(n))
 
