@@ -31,7 +31,7 @@ import numpy as np
 ICI_BW = 9.0e10      # B/s bidirectional per chip, v5e 2-D torus (1600 Gbps)
 DCN_BW = 2.5e10      # B/s per host NIC (200 Gbps class)
 CHIPS_PER_HOST = 4   # v5e-4 host
-WPROJ_RATE = 30.3e6  # vis/s/chip measured on the real chip (BENCH.md r3,
+WPROJ_RATE = 32.0e6  # vis/s/chip measured on the real chip (BENCH.md r3 final,
                      # resident-grid kernel, chained-dispatch timing)
 
 _DT_BYTES = {"f32": 4, "f64": 8, "c64": 8, "c128": 16, "s32": 4, "u32": 4,
