@@ -118,6 +118,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+
+def _all_counters(timer):
+    """Timer counters merged with Pallas->XLA dispatch-downgrade counts
+    (VERDICT r3 #6: downgrades must be visible in the metrics channel)."""
+    from . import kernels
+
+    out = dict(timer.counters)
+    for k, v in kernels.fallback_counters().items():
+        out[f"fallback/{k}"] = float(v)
+    return out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -236,7 +248,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             )
         print(f"predicted {pred.shape[0]} visibilities, peak |vis|: {peak}")
         metrics.emit("run/done", peak_vis=peak, phases=timer.times,
-                     counters=timer.counters)
+                     counters=_all_counters(timer))
         return 0
 
     if args.mode == "idg":
@@ -247,7 +259,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
         )
         print(f"image max: {mx}")
         metrics.emit("run/done", image_max=mx, phases=timer.times,
-                     counters=timer.counters)
+                     counters=_all_counters(timer))
         return 0
 
     if args.mode == "aw":
@@ -348,7 +360,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             )
     print(f"image max: {mx}")
     metrics.emit("run/done", image_max=mx, phases=timer.times,
-                 counters=timer.counters)
+                 counters=_all_counters(timer))
     return 0
 
 

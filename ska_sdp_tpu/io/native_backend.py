@@ -19,7 +19,8 @@ _lib: Optional[ctypes.CDLL] = None
 
 _KF64, _KC128, _KI64, _KF32, _KI32, _KC64 = 0, 1, 2, 3, 4, 5
 _KCI32 = 6  # {r, i} int32 compound — reference parity (hdf5.cc:204), no
-            # numpy scalar type; exposed via read/write_complex_int below
+            # numpy scalar type; exposed as COMPLEX_INT_DTYPE through the
+            # generic read_dataset/write_dataset paths
 
 _KIND_BY_DTYPE = {
     np.dtype(np.float64): _KF64,
@@ -157,6 +158,16 @@ def _kind_of(dt: np.dtype) -> int:
 
 
 def _sniff_dtype(path: str, name: str):
+    """Stored-width dtype of a dataset (f32-stored data reads as f32 —
+    run-precision checkpoints round-trip losslessly).
+
+    Caller audit (ADVICE r3 — callers that omit ``dtype`` and could see
+    narrower arrays than the pre-r3 promote-to-64-bit behavior): the vis/
+    wkern/akern loaders all pass explicit dtypes (``models/dataset.py``);
+    the dtype-omitting callers read /vis/frequency and /img (always
+    written float64 by this framework and the reference) or checkpoint
+    slabs (run precision is the intended semantics).
+    """
     try:
         import h5py
 

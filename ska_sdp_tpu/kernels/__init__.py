@@ -12,6 +12,7 @@ gridders, ``/root/reference/src/Gridding.hs:153-244``).
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,40 @@ from ..ops.gridding import convgrid_wproj
 
 _VALID_IMPLS = ("auto", "xla", "pallas")
 _impl = os.environ.get("SKA_SDP_TPU_GRIDDER", "auto")  # auto|xla|pallas
+
+# ---------------------------------------------------------------------------
+# Dispatch-downgrade accounting (VERDICT r3 #6).  When a Pallas-eligible call
+# (TPU backend, auto/pallas impl) misses a kernel gate and silently lands on
+# the XLA oracle path — orders of magnitude slower — the user must be told
+# ONCE per (kernel, reason) on stderr, and the event must be countable
+# (drivers merge these into the metrics counters channel).
+_fallback_counts: dict[str, int] = {}
+_warned_fallbacks: set[tuple[str, str]] = set()
+
+
+def fallback_counters() -> dict[str, int]:
+    """Counts of Pallas→XLA dispatch downgrades since process start,
+    keyed by kernel name.  Designed fallbacks within the Pallas family
+    (resident→tiled) are NOT counted — only drops to the oracle path."""
+    return dict(_fallback_counts)
+
+
+def reset_fallback_counters() -> None:
+    _fallback_counts.clear()
+    _warned_fallbacks.clear()
+
+
+def _note_fallback(kind: str, reason: str) -> None:
+    _fallback_counts[kind] = _fallback_counts.get(kind, 0) + 1
+    key = (kind, reason)
+    if key not in _warned_fallbacks:
+        _warned_fallbacks.add(key)
+        print(
+            f"warning: {kind}: Pallas TPU kernel unavailable — {reason}; "
+            "falling back to the XLA oracle path (orders of magnitude "
+            "slower).  See README 'Pallas kernel envelope'.",
+            file=sys.stderr,
+        )
 
 
 def set_gridder_impl(impl: str) -> None:
@@ -112,6 +147,11 @@ def wproj_gridder(bank_conj, grid_shape, p, wbin, vis, chunk: int = 16384,
 
             out = wproj_gridder_pallas(bank_conj, grid_shape, p, wbin, vis)
             return out if init is None else init + out
+        _note_fallback(
+            "wproj_gridder",
+            f"kernel patch {gh}x{gw} exceeds the Pallas tile halo "
+            "(supported: gh<=16, gw<=128)",
+        )
     guv = jnp.zeros(grid_shape, vis.dtype) if init is None else init
     return convgrid_wproj(bank_conj, guv, p, wbin, vis, chunk=chunk)
 
@@ -151,6 +191,11 @@ def wproj_degridder(bank, grid, p, wbin, chunk: int = 16384):
             from .wproj_degrid_pallas import wproj_degridder_pallas
 
             return wproj_degridder_pallas(bank, grid, p, wbin)
+        _note_fallback(
+            "wproj_degridder",
+            f"kernel patch {gh}x{gw} exceeds the Pallas tile halo "
+            "(supported: gh<=16, gw<=128)",
+        )
     return degrid_wproj(bank, grid, p, wbin, chunk=chunk)
 
 
@@ -211,6 +256,15 @@ def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
     )
 
 
+def _idg_aw_unfit_reason(grid_shape, nant: int, subgrid: int) -> str:
+    """Human-readable reason the Pallas IDG-AW kernel was rejected."""
+    if subgrid != 64:
+        return (f"subgrid={subgrid} is outside the kernel envelope "
+                "(the Pallas IDG-AW kernel requires subgrid=64)")
+    return (f"padded {grid_shape[0]}x{grid_shape[1]} grid + {nant} antenna "
+            "screens exceed the VMEM budget (resident-grid kernel only)")
+
+
 def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
                    subgrid: int = 64, support: int = 15,
                    taper_beta: float = 12.0, max_runs: int = 4096,
@@ -233,14 +287,19 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
 
             fits = idg_aw_resident_fits(grid_shape[0], grid_shape[1],
                                         screens.shape[0], subgrid)
+            reason = (None if fits else
+                      _idg_aw_unfit_reason(grid_shape, screens.shape[0],
+                                           subgrid))
         except ImportError:
             fits = False
+            reason = "Pallas TPU kernels failed to import"
         if fits:
             return idg_aw_gridder_pallas(
                 grid_shape, p, a1, a2, w, vis, screens, theta=theta,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin,
             )
+        _note_fallback("idg_aw_gridder", reason)
     return idg_grid_aw(
         grid_shape, p, a1, a2, w, vis, screens, theta=theta,
         subgrid=subgrid, support=support, taper_beta=taper_beta,
@@ -268,14 +327,19 @@ def idg_aw_degridder(grid_shape, p, a1, a2, w, grid, screens, *,
 
             fits = idg_aw_resident_fits(grid_shape[0], grid_shape[1],
                                         screens.shape[0], subgrid)
+            reason = (None if fits else
+                      _idg_aw_unfit_reason(grid_shape, screens.shape[0],
+                                           subgrid))
         except ImportError:
             fits = False
+            reason = "Pallas TPU kernels failed to import"
         if fits:
             return idg_aw_degridder_pallas(
                 grid_shape, p, a1, a2, w, grid, screens, theta=theta,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin,
             )
+        _note_fallback("idg_aw_degridder", reason)
     return idg_degrid_aw(
         grid_shape, p, a1, a2, w, grid, screens, theta=theta,
         subgrid=subgrid, support=support, taper_beta=taper_beta,
@@ -348,4 +412,9 @@ def aw_gridder(wkerns, akerns, guv, p, wbin, a1, a2, vis,
             return convgrid_aw_pallas(
                 wkerns, akerns, guv, p, wbin, a1, a2, vis, slab=slab
             )
+        _note_fallback(
+            "aw_gridder",
+            f"kernel patch {s}x{s} exceeds the Pallas tile halo "
+            "(supported: s<=16)",
+        )
     return convgrid_aw(wkerns, akerns, guv, p, wbin, a1, a2, vis, chunk=chunk)

@@ -54,23 +54,46 @@ def _swapneg(x):
     return jnp.where(lane % 2 == 0, -left, right)
 
 
-# MXU precision of the kernel's DFT-sandwich matmuls.  Mosaic's DEFAULT
-# f32 dot is ONE bf16 pass (~2.5e-3 relative — matches the AW test
-# tolerances); HIGHEST is exact f32 but halves throughput (6.0 → 3.4
-# M vis/s measured), and a hand-rolled 3-pass bf16 split was slower still
-# (2.7 M, 410 s Mosaic compile — experiments/probe_idg_bf16.py notes).
-# Set SKA_SDP_TPU_AW_EXACT=1 to trade speed for exact f32 matmuls; the
-# XLA AW path (SKA_SDP_TPU_GRIDDER=xla) is always exact.
+# MXU precision tier of the AW sandwich matmuls, shared by this tiled
+# kernel and the resident variant so the SAME env var controls the SAME
+# accuracy everywhere (ADVICE r3: the two kernels must not silently
+# diverge by two orders of magnitude when the VMEM gate flips).  Tiers:
+#   fast   — Mosaic's DEFAULT f32 dot: ONE bf16 pass, ~2.5e-3 relative.
+#   split3 — DEFAULT tier.  In the resident kernel this is the 3-pass
+#            bf16 hi/lo split (~1.5e-5); HERE it maps to exact f32
+#            (Precision.HIGHEST, ~1e-7) because the hand-rolled split
+#            measured slower than exact in this kernel's group structure
+#            (2.7 M vis/s + 410 s Mosaic compile vs 3.4 M exact —
+#            experiments/probe_idg_bf16.py notes).  Accuracy is therefore
+#            ≥ the resident kernel's at every tier.
+#   exact  — Precision.HIGHEST (exact f32, 6.0 → 3.4 M vis/s measured).
+#   SKA_SDP_TPU_AW_PRECISION = fast | split3 | exact   (default: split3)
+# (legacy SKA_SDP_TPU_AW_EXACT=1 still forces "exact".)  Read PER CALL,
+# not at import, so tests/CLI can flip it at runtime.
 import os as _os
 
-_AW_PRECISION = (jax.lax.Precision.HIGHEST
-                 if _os.environ.get("SKA_SDP_TPU_AW_EXACT") == "1"
-                 else jax.lax.Precision.DEFAULT)
+
+def aw_tier() -> str:
+    """Resolve the AW matmul precision tier from the environment."""
+    if _os.environ.get("SKA_SDP_TPU_AW_EXACT") == "1":   # legacy flag
+        return "exact"
+    tier = _os.environ.get("SKA_SDP_TPU_AW_PRECISION", "split3")
+    if tier not in ("fast", "split3", "exact"):
+        raise ValueError(
+            f"SKA_SDP_TPU_AW_PRECISION must be fast|split3|exact, got {tier!r}"
+        )
+    return tier
+
+
+def _tier_precision(tier: str):
+    return (jax.lax.Precision.DEFAULT if tier == "fast"
+            else jax.lax.Precision.HIGHEST)
 
 
 def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
             c1_ref, c2_ref, bdr_ref, bdi_ref,
-            out_ref, recs_s, acc, acc2, sems, *, m: int, s: int):
+            out_ref, recs_s, acc, acc2, sems, *, m: int, s: int,
+            precision):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
@@ -133,10 +156,10 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
             r_all = (
                 jnp.dot(xr_all, c1_ref[:],
                         preferred_element_type=jnp.float32,
-                        precision=_AW_PRECISION)
+                        precision=precision)
                 + jnp.dot(xi_all, c2_ref[:],
                           preferred_element_type=jnp.float32,
-                          precision=_AW_PRECISION)
+                          precision=precision)
             )                                     # (U·m²/128, pv·2s)
             rs_all = _swapneg(r_all)
             # block-structured left product, one matmul pair per packed
@@ -147,10 +170,10 @@ def _kernel(starts_ref, recs_hbm, pair_r, pair_i, wsp_r, wsp_i,
                 term = (
                     jnp.dot(bdr_ref[v], r_all[:, cols],
                             preferred_element_type=jnp.float32,
-                            precision=_AW_PRECISION)
+                            precision=precision)
                     + jnp.dot(bdi_ref[v], rs_all[:, cols],
                               preferred_element_type=jnp.float32,
-                              precision=_AW_PRECISION)
+                              precision=precision)
                 )
                 i_all = term if i_all is None else i_all + term
 
@@ -304,7 +327,8 @@ def aw_fused_scatter_planes(pair_r, pair_i, wsp_r, wsp_i, grid_shape,
     )
 
     (out,) = pl.pallas_call(
-        functools.partial(_kernel, m=m, s=s),
+        functools.partial(_kernel, m=m, s=s,
+                          precision=_tier_precision(aw_tier())),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((ntiles, TYP, TXP2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(

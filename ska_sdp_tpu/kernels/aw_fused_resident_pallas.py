@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.convolution import (_analysis_mat, _sandwich, _synthesis_mat,
                                akernel_spectra, wkernel_tap_spectra)
 from ..ops.coords import frac_coords
-from .aw_fused_pallas import _AW_PRECISION, _matrices, _swapneg, ROWSP, UNROLL
+from .aw_fused_pallas import _matrices, _swapneg, aw_tier, ROWSP, UNROLL
 
 # Precision tier of the sandwich matmuls (VERDICT r2 #2 — the accuracy/
 # speed default must be honest).  Mosaic's DEFAULT f32 dot is ONE bf16
@@ -34,11 +34,8 @@ from .aw_fused_pallas import _AW_PRECISION, _matrices, _swapneg, ROWSP, UNROLL
 # ~1.5e-5 relative at ~3x the matmul passes (but bf16-rate passes);
 # "exact" pins Precision.HIGHEST (exact f32, slowest).
 #   SKA_SDP_TPU_AW_PRECISION = fast | split3 | exact   (default: split3)
-import os as _os
-
-_AW_TIER = _os.environ.get("SKA_SDP_TPU_AW_PRECISION", "split3")
-if _os.environ.get("SKA_SDP_TPU_AW_EXACT") == "1":   # legacy flag
-    _AW_TIER = "exact"
+# — resolved PER CALL via ``aw_fused_pallas.aw_tier()`` (ADVICE r3: the
+# tiled fallback honors the same variable, read at the same time).
 
 
 def _split_bf16(a):
@@ -61,11 +58,11 @@ def _dot_split3(a_hl, b_hl):
             + jnp.dot(al, bh, preferred_element_type=f32))
 
 
-def _dot_tier(a, b, precision):
-    """a @ b at the selected tier; `precision` is the exact-mode setting."""
-    if _AW_TIER == "split3":
+def _dot_tier(a, b, tier):
+    """a @ b at the selected precision tier."""
+    if tier == "split3":
         return _dot_split3(_split_bf16(a), _split_bf16(b))
-    if _AW_TIER == "exact":
+    if tier == "exact":
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -96,7 +93,8 @@ def aw_resident_fits(H: int, W: int, nant: int, nw: int, qpx: int,
 
 
 def _kernel(recs_ref, pair_r, pair_i, wsp_r, wsp_i,
-            c1_ref, c2_ref, bdr_ref, bdi_ref, out_ref, *, m: int, s: int):
+            c1_ref, c2_ref, bdr_ref, bdi_ref, out_ref, *, m: int, s: int,
+            tier: str):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -110,7 +108,7 @@ def _kernel(recs_ref, pair_r, pair_i, wsp_r, wsp_i,
     # split3: the constant factors' bf16 hi/lo planes are loop-invariant —
     # split them ONCE here instead of per group (the unhoisted version
     # re-split them every iteration and measured ~10% slower)
-    if _AW_TIER == "split3":
+    if tier == "split3":
         c1_hl = _split_bf16(c1_ref[:])
         c2_hl = _split_bf16(c2_ref[:])
         bdr_hl = [_split_bf16(bdr_ref[v]) for v in range(pv)]
@@ -135,22 +133,22 @@ def _kernel(recs_ref, pair_r, pair_i, wsp_r, wsp_i,
         xs = [_spectral(i0 + j) for j in range(UNROLL)]
         xr_all = jnp.concatenate([x[0] for x in xs], axis=0)
         xi_all = jnp.concatenate([x[1] for x in xs], axis=0)
-        if _AW_TIER == "split3":
+        if tier == "split3":
             r_all = (_dot_split3(_split_bf16(xr_all), c1_hl)
                      + _dot_split3(_split_bf16(xi_all), c2_hl))
         else:
             r_all = (
-                _dot_tier(xr_all, c1_ref[:], _AW_PRECISION)
-                + _dot_tier(xi_all, c2_ref[:], _AW_PRECISION)
+                _dot_tier(xr_all, c1_ref[:], tier)
+                + _dot_tier(xi_all, c2_ref[:], tier)
             )
         rs_all = _swapneg(r_all)
         i_all = None
-        if _AW_TIER == "split3":
+        if tier == "split3":
             r_hl = _split_bf16(r_all)
             rs_hl = _split_bf16(rs_all)
         for v in range(pv):
             cols = slice(v * 2 * s, (v + 1) * 2 * s)
-            if _AW_TIER == "split3":
+            if tier == "split3":
                 term = (
                     _dot_split3(bdr_hl[v],
                                 (r_hl[0][:, cols], r_hl[1][:, cols]))
@@ -159,8 +157,8 @@ def _kernel(recs_ref, pair_r, pair_i, wsp_r, wsp_i,
                 )
             else:
                 term = (
-                    _dot_tier(bdr_ref[v], r_all[:, cols], _AW_PRECISION)
-                    + _dot_tier(bdi_ref[v], rs_all[:, cols], _AW_PRECISION)
+                    _dot_tier(bdr_ref[v], r_all[:, cols], tier)
+                    + _dot_tier(bdi_ref[v], rs_all[:, cols], tier)
                 )
             i_all = term if i_all is None else i_all + term
 
@@ -224,7 +222,7 @@ def aw_resident_scatter_planes(pair_r, pair_i, wsp_r, wsp_i, grid_shape,
     c1, c2, bdr, bdi = _matrices(s, m)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, m=m, s=s),
+        functools.partial(_kernel, m=m, s=s, tier=aw_tier()),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec((1, 8, C), lambda c: (c, 0, 0),

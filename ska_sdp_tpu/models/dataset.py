@@ -40,12 +40,14 @@ from .imaging import aw_imaging
 
 
 class VisData(NamedTuple):
-    vis: np.ndarray        # [n] complex
+    vis: np.ndarray        # [n] complex — channel 0 (reference semantics)
     uvw: np.ndarray        # [n, 3] float (metres)
     antenna1: np.ndarray   # [n] int64
     antenna2: np.ndarray   # [n] int64
     time: np.ndarray       # [n] float
-    frequency: float
+    frequency: float       # channel 0 (Hz) — reference uses only this
+    vis_chan: np.ndarray = None    # [n, nch] complex — all channels
+    frequencies: np.ndarray = None  # [nch] float64 (Hz)
 
 
 def _require_file(path: str) -> None:
@@ -63,15 +65,30 @@ def _require_file(path: str) -> None:
 
 def load_vis_data(datfile: str) -> VisData:
     """Read the /vis tree (reference readVis/readBaselines/readSource,
-    ``ImageDataset.hs:86-106``); the rank-3 vis block flattens to [n]."""
+    ``ImageDataset.hs:86-106``).
+
+    The rank-3 vis block's trailing axis is the spectral channel; the
+    reference flattens it and images every (record, channel) at the
+    channel-0 frequency (``ImageDataset.hs:99-106`` reads the whole
+    frequency vector, uses only element 0).  We keep that reference
+    semantics in ``vis``/``frequency`` (channel 0 only) and expose the
+    full spectral data as ``vis_chan [n, nch]`` + ``frequencies [nch]``
+    for the multi-channel drivers (``channels=`` arguments).
+    """
     _require_file(datfile)
-    vis = h5.read_dataset(datfile, schema.VIS_VIS, dtype=np.complex128).reshape(-1)
+    raw = h5.read_dataset(datfile, schema.VIS_VIS, dtype=np.complex128)
     uvw = h5.read_dataset(datfile, schema.VIS_UVW, dtype=np.float64)
     a1 = h5.read_dataset(datfile, schema.VIS_ANTENNA1, dtype=np.int64)
     a2 = h5.read_dataset(datfile, schema.VIS_ANTENNA2, dtype=np.int64)
     t = h5.read_dataset(datfile, schema.VIS_TIME, dtype=np.float64)
     f = h5.read_dataset(datfile, schema.VIS_FREQUENCY, dtype=np.float64).reshape(-1)
-    return VisData(vis, uvw, a1, a2, t, float(f[0]))
+    nch = f.shape[0]
+    if nch > 1 and raw.ndim >= 1 and raw.shape[-1] == nch:
+        vis_chan = raw.reshape(-1, nch)
+    else:
+        vis_chan = raw.reshape(-1, 1)     # single channel (or legacy file)
+    return VisData(vis_chan[:, 0], uvw, a1, a2, t, float(f[0]),
+                   vis_chan, f[:vis_chan.shape[1]])
 
 
 def _closest(sorted_pairs, x: float) -> str:
@@ -240,7 +257,10 @@ def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
 
     uvw0 = uvw_lambda(f, uvw)
     n, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
-    wt = doweight(theta_g, lam, uvw0, jnp.ones_like(vis))
+    # uniform weighting ALWAYS uses the target-FOV uv histogram: fov_pad
+    # is a numerical-accuracy device and must not change the weighting
+    # semantics (ADVICE r3 — the padded grid's finer uv cells would)
+    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
     guv, nd = idg_aw_gridder(
         (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2], wt * vis1,
@@ -463,8 +483,9 @@ def _idg_staged(uvw, f, vis, *, theta, lam, subgrid, taper_beta, timer,
 
     vr = np.ascontiguousarray(np.asarray(vis).real)
     vi = np.ascontiguousarray(np.asarray(vis).imag)
+    # weighting on the TARGET theta (fov_pad must not change weights)
     uvw1, vr1, vi1 = timer.device_stage(
-        "preprocess", prep, uvw, f, vr, vi, theta=theta_g, lam=lam)
+        "preprocess", prep, uvw, f, vr, vi, theta=theta, lam=lam)
 
     if kernels._resolved_impl() == "pallas":
         from ..kernels.idg_pallas import idg_bin_records, \
@@ -528,7 +549,8 @@ def _idg_pipeline(uvw, f, vis, *, theta, lam, subgrid, taper_beta,
 
     uvw0 = uvw_lambda(f, uvw)
     n, n_pad, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
-    wt = doweight(theta_g, lam, uvw0, jnp.ones_like(vis))
+    # target-FOV weighting histogram regardless of fov_pad (ADVICE r3)
+    wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
     guv = idg_gridder((n_pad, n_pad), uvw1 / lam, uvw1[:, 2], wt * vis1,
                       theta=theta_g, subgrid=subgrid, taper_beta=taper_beta)

@@ -128,6 +128,12 @@ def _record_keys(grid_shape, p, a1, a2, subgrid: int, support: int,
     xc = jnp.floor(xcf - PADM + 0.5).astype(jnp.int32)
     valid = ((yc - s // 2 > -s) & (yc - s // 2 < N)
              & (xc - s // 2 > -s) & (xc - s // 2 < Nx))
+    # pair-key envelope: a1·2¹⁵ + a2 corrupts run grouping (and collides
+    # with the 2³⁰ sentinel) once an index reaches 2¹⁵ — such records get
+    # the sentinel key via the fit mask below, so they are dropped AND
+    # COUNTED (the valid & ~fit term) instead of corrupting silently
+    # (ADVICE r3).  32767 antenna/slot ids is far beyond any SKA layout.
+    ant_ok = ((a1 >= 0) & (a1 < 2**15) & (a2 >= 0) & (a2 < 2**15))
 
     Tc = max(2 * fit_margin - 2, 8)
     ty = jnp.clip(ycf, 0, HP - 1).astype(jnp.int32) // Tc
@@ -139,7 +145,7 @@ def _record_keys(grid_shape, p, a1, a2, subgrid: int, support: int,
     x0r = jnp.clip(tx * Tc - (S - Tc) // 2, 0, WP - S)
     dy = ycf - (y0r.astype(rdt) + S // 2)
     dx = xcf - (x0r.astype(rdt) + S // 2)
-    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin)
+    fit = (jnp.abs(dy) <= fit_margin) & (jnp.abs(dx) <= fit_margin) & ant_ok
     pkey = jnp.where(valid & fit,
                      a1.astype(jnp.int32) * jnp.int32(2**15)
                      + a2.astype(jnp.int32), jnp.int32(2**30))
