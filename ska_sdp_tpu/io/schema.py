@@ -4,12 +4,23 @@ Encodes the group layouts the reference reads/writes (SURVEY §3.4,
 ``/root/reference/src/ImageDataset.hs:86-148``):
 
   visibility file:
-    /vis/vis        [d0, d1, d2] complex   (flattened to [n] on ingest)
+    /vis/vis        [ntime, nbl, nch] complex  (n = ntime·nbl records)
     /vis/uvw        [n, 3]      float64    (metres)
     /vis/antenna1   [n]         int64
     /vis/antenna2   [n]         int64
     /vis/time       [n]         float64    (MJD UTC)
-    /vis/frequency  [nch]       float64    (Hz; element 0 used)
+    /vis/frequency  [nch]       float64    (Hz)
+
+  The reference consumes only channel 0 (``ImageDataset.hs:99-106``);
+  the single-channel drivers here keep that semantics.  The
+  multi-channel drivers (``channels=`` / CLI ``--channels``) image every
+  channel at its own frequency — per-channel uvw·f/c scaling, per-channel
+  uniform weighting — amortizing record binning across a channel group.
+
+  image output (single-channel; reference parity):
+    /img            [n, n] float64
+  multi-channel runs additionally write the spectral cube:
+    /img_cube       [nch, n, n] float64   (/img is the channel mean)
 
   w-kernel file:
     /wkern/<theta>/<w>/kern     [qpx, qpx, s, s] complex
@@ -20,9 +31,6 @@ Encodes the group layouts the reference reads/writes (SURVEY §3.4,
     /akern/<theta>/<ant>/<time>/<freq>/kern   [s, s] complex
       — readers pick the closest <time> and <freq> to the observation and
         stack kernels over all antennas (sorted numerically).
-
-  image output:
-    /img            [n, n] float64
 
 Complex values are stored as the {r, i} float64 compound type — identical to
 the reference's memory layout (``hdf5/hdf5.cc`` complextype) and to h5py's
@@ -39,6 +47,7 @@ VIS_ANTENNA2 = "/vis/antenna2"
 VIS_TIME = "/vis/time"
 VIS_FREQUENCY = "/vis/frequency"
 IMG_DATASET = "/img"
+IMG_CUBE_DATASET = "/img_cube"
 
 
 def fmt_float(x: float) -> str:

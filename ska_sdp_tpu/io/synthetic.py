@@ -41,7 +41,9 @@ class SyntheticConfig:
     lam: int = 300000             # grid resolution in wavelengths
     nant: int = 16
     ntime: int = 24
-    freq: float = 1.5e8           # Hz
+    freq: float = 1.5e8           # Hz (first channel)
+    nchan: int = 1                # spectral channels (/vis/frequency [nch])
+    chan_bw: float = 1.0e5        # channel spacing in Hz
     declination: float = 0.7      # radians
     # Maximum antenna-layout diameter in metres.  None (default) derives it
     # from the grid: baselines must stay inside the ±lam/2 uv box, so the
@@ -100,22 +102,28 @@ def simulate_observation(cfg: SyntheticConfig):
     srcs_m = rng.uniform(-lm_extent, lm_extent, cfg.nsources)
     flux = rng.uniform(0.5, 2.0, cfg.nsources)
 
-    uvw_l = uvw * (cfg.freq / 299792458.0)              # wavelengths
-    arg = (
-        uvw_l[:, 0:1] * srcs_l[None, :]
-        + uvw_l[:, 1:2] * srcs_m[None, :]
-        + uvw_l[:, 2:3]
+    # per-channel measurement equation: channel c observes the same sky
+    # through uvw scaled by f_c/c (the physical baseline is in metres;
+    # reference stores /vis/frequency as a VECTOR — ImageDataset.hs:99-106
+    # reads it whole even though only element 0 is consumed there)
+    freqs = cfg.freq + cfg.chan_bw * np.arange(cfg.nchan)
+    phase_geom = (
+        uvw[:, 0:1] * srcs_l[None, :]
+        + uvw[:, 1:2] * srcs_m[None, :]
+        + uvw[:, 2:3]
         * (np.sqrt(1.0 - srcs_l**2 - srcs_m**2) - 1.0)[None, :]
-    )
-    vis = (np.exp(-2j * np.pi * arg) * flux[None, :]).sum(axis=1)
+    )                                                   # [n, nsrc] metres
+    scale = freqs / 299792458.0                         # [nch] 1/m
+    arg = phase_geom[:, None, :] * scale[None, :, None]  # [n, nch, nsrc]
+    vis = (np.exp(-2j * np.pi * arg) * flux[None, None, :]).sum(axis=2)
 
     return {
         "uvw": uvw,
-        "vis": vis.reshape(cfg.ntime, nbl, 1),
+        "vis": vis.reshape(cfg.ntime, nbl, cfg.nchan),
         "antenna1": a1,
         "antenna2": a2,
         "time": time,
-        "frequency": np.array([cfg.freq]),
+        "frequency": freqs,
         "sources": np.stack([srcs_l, srcs_m, flux], axis=1),
         "n": n,
     }
@@ -133,7 +141,8 @@ def write_vis_file(path: str, obs) -> None:
 
 def w_plane_centers(obs, cfg: SyntheticConfig) -> np.ndarray:
     """Evenly spaced w-plane centers covering the observed ±w range (λ)."""
-    w_l = np.abs(obs["uvw"][:, 2]) * (cfg.freq / 299792458.0)
+    f_top = float(obs["frequency"][-1])     # highest channel bounds |w|
+    w_l = np.abs(obs["uvw"][:, 2]) * (f_top / 299792458.0)
     wmax = float(w_l.max()) * 1.05 + 1e-3
     return np.linspace(-wmax, wmax, cfg.nw_planes)
 

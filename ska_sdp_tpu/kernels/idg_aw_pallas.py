@@ -153,6 +153,116 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     return recs, starts, ends, y0, x0, ia1, ia2, n_dropped, (HP, WP)
 
 
+def idg_aw_run_records_multi(grid_shape, p, a1, a2, w, vis_re_mc,
+                             vis_im_mc, *, subgrid: int = 64,
+                             chunk: int = CHUNK, support: int = 15,
+                             max_runs: int = 4096, fit_margin: int = 0,
+                             drift_cells: int = 0):
+    """Multi-channel (pair, uv-tile) run sorting: bin ONCE at the
+    reference channel, update records per channel elementwise.
+
+    ``p``/``w`` are at the REFERENCE channel (a channel group's center
+    frequency); ``vis_re_mc``/``vis_im_mc`` are [nch, n] — every
+    channel's (weighted, mirrored) planes ride the ONE fused stable sort,
+    so per-channel data needs no unsort gather.  Channel geometry is the
+    elementwise map dy_c = r·dy + (r−1)·cy (cy = tile-center offset from
+    the grid center, carried per record), w_c = r·w, r = f_c/f_ref.
+
+    ``drift_cells`` shrinks the BINNING margin (and with it the tile
+    side) so the per-channel recheck at the full taper margin has that
+    many cells of slack: records within ``fit_margin − drift_cells`` of
+    their tile center at f_ref stay within ``fit_margin`` at every
+    channel with |r−1|·extent ≤ drift_cells (the driver plans channel
+    groups to satisfy exactly this).
+
+    Returns (base [6, n_pad] rows (dy, dx, w, cy, cx, live), vis_s
+    [nch, 2, n_pad], starts, ends, y0, x0, ia1, ia2, n_dropped_base,
+    (HP, WP)).
+    """
+    S = subgrid
+    s = support
+    margin_full = fit_margin if fit_margin > 0 else S // 2 - s // 2 - 12
+    margin_bin = margin_full - drift_cells
+    assert margin_bin > 0, "drift_cells leaves no binning margin"
+    (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
+     HP, WP) = _record_keys(grid_shape, p, a1, a2, subgrid, support,
+                            margin_bin)
+    n = p.shape[0]
+    f32 = jnp.float32
+    use = valid & fit
+    nch = vis_re_mc.shape[0]
+    # per-record tile-center offset from the grid center (the (r−1) term)
+    N, Nx = grid_shape
+    PADM = S
+    ty = tkey // ntx_t
+    tx = tkey - ty * ntx_t
+    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
+    x0r = jnp.clip(tx * Tc - (S - Tc) // 2, 0, WP - S)
+    cy = (y0r + S // 2 - N // 2 - PADM).astype(f32)
+    cx = (x0r + S // 2 - Nx // 2 - PADM).astype(f32)
+
+    vrows = []
+    for c in range(nch):
+        vrows.append(jnp.where(use, vis_re_mc[c], 0.0).astype(f32))
+        vrows.append(jnp.where(use, vis_im_mc[c], 0.0).astype(f32))
+    sorted_ = jax.lax.sort(
+        [pkey, tkey, dy, dx, w.astype(f32), cy, cx] + vrows,
+        num_keys=2, is_stable=True,
+    )
+    pk_s, tk_s = sorted_[0], sorted_[1]
+
+    starts_ext, starts, ends, y0, x0, ia1, ia2, overflow = _run_csr(
+        pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HP, WP
+    )
+    placeable_s = pk_s < jnp.int32(2**30)
+    n_dropped_base = (jnp.sum(valid & ~fit)
+                      + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
+    live = (placeable_s & ~overflow).astype(f32)
+
+    n_pad = _align(max(n, 1), chunk)
+    zero = jnp.zeros((n_pad - n,), f32)
+    base = jnp.stack([jnp.concatenate([r, zero]) for r in
+                      (sorted_[2], sorted_[3], sorted_[4], sorted_[5],
+                       sorted_[6], live)])
+    vis_s = jnp.stack([jnp.concatenate([r, zero]) for r in sorted_[7:]]
+                      ).reshape(nch, 2, n_pad)
+    return (base, vis_s, starts, ends, y0, x0, ia1, ia2, n_dropped_base,
+            (HP, WP))
+
+
+def idg_aw_records_for_channel(base, vis_c, ratio, *, subgrid: int = 64,
+                               support: int = 15, fit_margin: int = 0,
+                               chunk: int = CHUNK):
+    """Per-channel IDG-AW record update (elementwise — no sort).
+
+    ``base``/``vis_c`` from :func:`idg_aw_run_records_multi` (``vis_c``
+    is this channel's [2, n_pad] slice); ``ratio`` = f_c/f_ref traced.
+    The recheck re-validates the FULL taper margin at the channel's own
+    coordinates; failures are zeroed and counted (zero when the channel
+    group honored the drift plan).  Returns (recs [nblk, 8, CHUNK],
+    n_masked).
+    """
+    S = subgrid
+    margin_full = (fit_margin if fit_margin > 0
+                   else S // 2 - support // 2 - 12)
+    f32 = jnp.float32
+    r = jnp.asarray(ratio, f32)
+    dy, dx, w, cy, cx, live = (base[i] for i in range(6))
+    dy_c = r * dy + (r - 1.0) * cy
+    dx_c = r * dx + (r - 1.0) * cx
+    w_c = r * w
+    m = f32(margin_full)
+    ok = ((jnp.abs(dy_c) <= m) & (jnp.abs(dx_c) <= m))
+    okf = ok.astype(f32)
+    n_masked = jnp.sum(live * (1.0 - okf)).astype(jnp.int32)
+    rows = [dy_c, dx_c, w_c, vis_c[0] * okf, vis_c[1] * okf]
+    n_pad = dy.shape[0]
+    rows += [jnp.zeros((n_pad,), f32)] * 3
+    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
+                                   ).transpose(1, 0, 2)
+    return recs, n_masked
+
+
 def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
             recs_hbm, sr_ref, si_ref, fre_ref, fim_ref, hr_ref, hi_ref,
             out_ref, recs_v, a_re, a_im, sems, *, S: int, theta: float,

@@ -218,6 +218,128 @@ def idg_bin_records(grid_shape, p, w, vis_re, vis_im, *, subgrid: int = 64,
     return _prep(N, Nx, S, T, PADM, nty, ntx, p, w, vis_re, vis_im, support)
 
 
+def idg_bin_records_multi(grid_shape, p, w, vis_re_mc, vis_im_mc, *,
+                          subgrid: int = 64, support: int = 15):
+    """Multi-channel binning: bin ONCE at the reference-channel coords.
+
+    ``p``/``w`` are the scaled baselines at the REFERENCE channel;
+    ``vis_re_mc``/``vis_im_mc`` are [nch, n] — each channel's (weighted,
+    mirrored) visibility planes, sorted together with the geometry in the
+    ONE fused ``lax.sort`` so no per-channel unsort gather is ever paid.
+
+    Channel c's scaled coordinates are the reference's times
+    r = f_c/f_ref, so its record geometry is an ELEMENTWISE update of the
+    sorted base stream (:func:`idg_records_for_channel`):
+
+        pos_c − center = r·(pos_ref − center)
+        dy_c = r·dy + (r−1)·cy,   cy = gy·T + S/2 − N/2 − PADM
+        w_c  = r·w
+
+    (cy is the record's subgrid-center offset from the grid center —
+    constant per subgrid, carried per record through the sort).
+
+    Subgrid assignment is CENTERED — the stride offset is shifted so a
+    record sits ~(S−s−T)/2 cells from both window edges (instead of the
+    plain ``//T`` layout's hard 0-cell lower edge), giving per-channel
+    drift symmetric slack; records a channel pushes outside the window
+    are zeroed and counted by the recheck in
+    :func:`idg_records_for_channel`.
+
+    Returns (base [6, n_pad], vis_s [nch, 2, n_pad], starts) where base
+    rows are (dy, dx, w, cy, cx, live).
+    """
+    N, Nx = grid_shape
+    S = subgrid
+    T = S // 2
+    s = support
+    assert s <= T + 1
+    PADM = T
+    nty = -(-(N + 2 * PADM) // T) + 1
+    ntx = -(-(Nx + 2 * PADM) // T) + 1
+    n_sub = nty * ntx
+
+    f32 = jnp.float32
+    yc = jnp.floor(N // 2 + p[:, 1] * N + 0.5).astype(jnp.int32)
+    xc = jnp.floor(Nx // 2 + p[:, 0] * Nx + 0.5).astype(jnp.int32)
+    y0 = yc - s // 2
+    x0 = xc - s // 2
+    valid = (y0 > -s) & (y0 < N) & (x0 > -s) & (x0 < Nx)
+    y0p = jnp.where(valid, y0 + PADM, 0)
+    x0p = jnp.where(valid, x0 + PADM, 0)
+    # centered stride assignment: offset o = y0p − gy·T lands in
+    # [c0, c0+T) with c0 = (S−s)//2 − T//2 — equal slack to both window
+    # edges [0, S−s] for the per-channel drift recheck
+    c0 = (S - s) // 2 - T // 2
+    gy = jnp.clip((y0p - c0) // T, 0, nty - 1)
+    gx = jnp.clip((x0p - c0) // T, 0, ntx - 1)
+    t = jnp.where(valid, gy * ntx + gx, n_sub).astype(jnp.int32)
+
+    fN = f32(N)
+    fNx = f32(Nx)
+    posy = (N // 2 + p[:, 1] * fN + PADM).astype(f32)
+    posx = (Nx // 2 + p[:, 0] * fNx + PADM).astype(f32)
+    ctry = (gy * T + S // 2).astype(f32)
+    ctrx = (gx * T + S // 2).astype(f32)
+    dy = posy - ctry
+    dx = posx - ctrx
+    cy = ctry - f32(N // 2 + PADM)
+    cx = ctrx - f32(Nx // 2 + PADM)
+    live = valid.astype(f32)
+
+    nch = vis_re_mc.shape[0]
+    vrows = []
+    for c in range(nch):
+        vrows.append(jnp.where(valid, vis_re_mc[c], 0.0).astype(f32))
+        vrows.append(jnp.where(valid, vis_im_mc[c], 0.0).astype(f32))
+    sorted_ = jax.lax.sort(
+        [t, dy.astype(f32), dx.astype(f32), w.astype(f32), cy, cx, live]
+        + vrows, num_keys=1,
+    )
+    t_s = sorted_[0]
+    n = t_s.shape[0]
+    n_pad = _align(max(n, 1), CHUNK)
+    zero = jnp.zeros((n_pad - n,), f32)
+    base = jnp.stack([jnp.concatenate([r, zero]) for r in sorted_[1:7]])
+    vis_s = jnp.stack([jnp.concatenate([r, zero]) for r in sorted_[7:]]
+                      ).reshape(nch, 2, n_pad)
+    starts = jnp.searchsorted(t_s, jnp.arange(n_sub + 1)).astype(jnp.int32)
+    return base, vis_s, starts
+
+
+def idg_records_for_channel(base, vis_c, ratio, *, subgrid: int = 64,
+                            support: int = 15):
+    """Per-channel record update (elementwise — no sort, no gather).
+
+    ``base``/``vis_c`` from :func:`idg_bin_records_multi` (``vis_c`` is
+    the [2, n_pad] slice for this channel); ``ratio`` = f_c/f_ref as a
+    traced scalar.  Returns (recs [nblk, 8, CHUNK] for
+    :func:`idg_grid_from_records`, n_masked) — ``n_masked`` counts LIVE
+    records whose patch the channel's coordinate drift pushed outside
+    their subgrid window (dropped AND counted; zero when the channel
+    group was planned within the drift slack).
+    """
+    S = subgrid
+    s = support
+    f32 = jnp.float32
+    r = jnp.asarray(ratio, f32)
+    dy, dx, w, cy, cx, live = (base[i] for i in range(6))
+    dy_c = r * dy + (r - 1.0) * cy
+    dx_c = r * dx + (r - 1.0) * cx
+    w_c = r * w
+    # patch-in-window recheck: floor(d + S/2 + 0.5) − s//2 ∈ [0, S−s]
+    lo = f32(s // 2 - S / 2 - 0.5)
+    hi = f32(S / 2 - s + s // 2 + 0.5)
+    ok = ((dy_c >= lo) & (dy_c < hi) & (dx_c >= lo) & (dx_c < hi))
+    okf = ok.astype(f32) * live
+    n_masked = jnp.sum(live * (1.0 - ok.astype(f32))).astype(jnp.int32)
+    rows = [dy_c, dx_c, w_c, vis_c[0] * okf, vis_c[1] * okf]
+    n_pad = dy.shape[0]
+    rows += [jnp.zeros((n_pad,), f32)] * 3
+    recs = jnp.stack(rows).reshape(8, n_pad // CHUNK, CHUNK
+                                   ).transpose(1, 0, 2)
+    return recs, n_masked
+
+
 def idg_grid_from_records(recs, starts, grid_shape, *, theta: float,
                           subgrid: int = 64, taper_beta: float = 12.0,
                           interpret: bool = False):

@@ -958,16 +958,37 @@ def w_gridding_checkpointed(
     return mx, img
 
 
-def _flat_vis_reader(datfile: str, nbl: int):
-    """Reader for flat-order slices of the rank-3 /vis/vis block."""
+def vis_record_geometry(datfile: str):
+    """(records_total, records_per_row, nch) of the /vis/vis block.
+
+    A RECORD is one (time, baseline) row — the unit ``/vis/uvw`` etc. are
+    indexed by.  Multi-channel files carry nch values per record in the
+    trailing vis axis (``io/schema.py``); the single-channel streaming
+    paths consume channel 0 only (the reference semantics,
+    ``ImageDataset.hs:99-106``), so record counts must NOT include the
+    channel axis.  Channel detection mirrors :func:`load_vis_data`:
+    trailing axis == len(/vis/frequency) > 1."""
+    vshape = h5.dataset_shape(datfile, schema.VIS_VIS)
+    f = np.asarray(h5.read_dataset(datfile, schema.VIS_FREQUENCY)).ravel()
+    nch = f.shape[0]
+    if not (nch > 1 and len(vshape) >= 1 and vshape[-1] == nch):
+        nch = 1
+    total = int(np.prod(vshape)) // nch
+    per_row = (int(np.prod(vshape[1:])) // nch) if len(vshape) > 1 else 1
+    return total, max(per_row, 1), nch
+
+
+def _flat_vis_reader(datfile: str, per_row: int, nch: int = 1):
+    """Reader for flat RECORD-order slices of the rank-3 /vis/vis block
+    (channel 0 of multi-channel files)."""
 
     def read(start: int, count: int) -> np.ndarray:
-        t0 = start // nbl
-        t1 = (start + count - 1) // nbl + 1
+        t0 = start // per_row
+        t1 = (start + count - 1) // per_row + 1
         block = h5.read_dataset_slice(
             datfile, schema.VIS_VIS, t0, t1 - t0
-        ).reshape(-1)
-        off = start - t0 * nbl
+        ).reshape(-1, nch)[:, 0]
+        off = start - t0 * per_row
         return block[off:off + count]
 
     return read
@@ -1003,9 +1024,7 @@ def w_gridding_out_of_core(
     n_grid = int(round(theta * lam))
 
     _require_file(datfile)
-    vshape = h5.dataset_shape(datfile, schema.VIS_VIS)
-    n_total = int(np.prod(vshape))
-    nbl = int(np.prod(vshape[1:]))
+    n_total, per_row, nch = vis_record_geometry(datfile)
     n = min(n, n_total) if n is not None else n_total
     freq = float(
         np.asarray(h5.read_dataset(datfile, schema.VIS_FREQUENCY)).ravel()[0]
@@ -1045,7 +1064,8 @@ def w_gridding_out_of_core(
         start = 0
 
     # pass 2: stream + grid (prefetch overlaps device compute)
-    readers = {"uvw": uvw_reader, "vis": _flat_vis_reader(datfile, nbl)}
+    readers = {"uvw": uvw_reader,
+               "vis": _flat_vis_reader(datfile, per_row, nch)}
     for s0, sl in SlabPrefetcher(readers, n, slab, start=start):
         take = sl["uvw"].shape[0]
         uvw_l = (sl["uvw"] * scale).astype(prec.np_real)

@@ -1,0 +1,503 @@
+"""Multi-channel (spectral) imaging drivers.
+
+The reference reads the whole ``/vis/frequency`` vector but images only
+channel 0 (``/root/reference/src/ImageDataset.hs:99-106``).  These
+drivers image EVERY channel at its own frequency — the capability the
+sustained from-records rates were built for (VERDICT r3 #1): record
+binning/sorting is paid ONCE per channel group and each channel applies
+an elementwise geometry update (``idg_records_for_channel`` /
+``idg_aw_records_for_channel``), so N channels cost one sort + N kernel
+passes instead of N full preps.
+
+Physics: channel c's scaled baseline is uvw·f_c/c_light — a pure radial
+dilation of the reference channel's by r = f_c/f_ref.  Within a channel
+GROUP the dilation is small enough that the group's one binning remains
+valid for every member (records a channel's drift pushes outside their
+subgrid window are zeroed AND counted — the honesty contract).  Groups
+are planned host-side from the actual uv extent (:func:`plan_channel_groups`);
+wideband data simply gets more groups, each re-binned at its own center
+frequency.
+
+Weighting is per channel (uniform weighting on the channel's OWN scaled
+uv histogram) — each channel's image is bit-comparable to a
+single-channel run of the same pipeline at that frequency (the parity
+tests in ``tests/test_multichannel.py`` assert exactly that).
+
+Outputs: the per-channel dirty-image cube [nch, n, n] plus the channel
+mean (the continuum image, written to ``/img`` for reference-layout
+compatibility; the cube goes to ``/img_cube`` — ``io/schema.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ImagingConfig
+from ..io import h5, schema
+from ..ops import (
+    doweight,
+    find_closest,
+    ifft_centered,
+    make_grid_hermitian,
+    mirror_uvw,
+    uvw_lambda,
+)
+from ..utils.cplx import complex_safe_jit
+from ..utils.timing import PhaseTimer
+from .dataset import _require_file, get_akernels, get_wkernels, load_vis_data
+
+C_LIGHT = 299792458.0
+
+
+def plan_channel_groups(freqs, extent_cells: float, slack_cells: float):
+    """Split channels into contiguous groups whose coordinate drift fits
+    the per-channel recheck slack.
+
+    For a group binned at its center frequency f_ref, channel c's scaled
+    coordinates dilate by r = f_c/f_ref; a record at ``extent_cells``
+    from the grid center moves by |r−1|·extent_cells cells.  The group is
+    admissible when that stays ≤ ``slack_cells`` for every member.
+
+    Greedy left-to-right with halving — O(nch log nch) host work.
+    Returns a list of (start, stop, f_ref, drift_cells) tuples.
+    """
+    freqs = np.asarray(freqs, np.float64)
+    nch = freqs.shape[0]
+    groups = []
+    i = 0
+    while i < nch:
+        j = nch
+        while True:
+            f_ref = 0.5 * (freqs[i] + freqs[j - 1])
+            drift = float(
+                np.max(np.abs(freqs[i:j] / f_ref - 1.0)) * extent_cells
+            )
+            if drift <= slack_cells or j == i + 1:
+                break
+            j = i + max(1, (j - i) // 2)
+        groups.append((i, j, f_ref, int(math.ceil(drift))))
+        i = j
+    return groups
+
+
+def uv_extent_cells(uvw, f_top: float, lam: float, n_grid: int) -> float:
+    """Max |u|,|v| grid-cell distance from the grid center at the highest
+    frequency — the lever arm of per-channel coordinate drift."""
+    uvw_l = np.asarray(uvw)[:, :2] * (f_top / C_LIGHT)
+    if uvw_l.size == 0:
+        return 0.0
+    return float(np.max(np.abs(uvw_l)) / lam * n_grid)
+
+
+# ---------------------------------------------------------------------------
+# jitted group pipelines
+# ---------------------------------------------------------------------------
+
+
+def _weights_multi(theta, lam, uvw0, ratios, n_live):
+    """Per-channel uniform weights [g, n]: channel c's histogram on its
+    OWN scaled uv cells (parity with the single-channel pipelines)."""
+    ones = jnp.ones((uvw0.shape[0],), uvw0.dtype)
+
+    def one(r):
+        return jnp.real(doweight(theta, lam, uvw0 * r, ones))
+
+    del n_live
+    return jax.vmap(one)(ratios)
+
+
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "g", "subgrid", "taper_beta",
+                          "fov_pad", "use_pallas"))
+def _idg_multi_pipeline(uvw, f_ref, ratios, vis_mc, *, theta, lam, g,
+                        subgrid=64, taper_beta=12.0, fov_pad=None,
+                        use_pallas=True):
+    """One channel GROUP through plain IDG: bin once, per-channel
+    elementwise updates, per-channel image.  Returns (cube [g, n, n],
+    per-channel masked-drop counts [g])."""
+    from ..ops.idg import fov_pad_geometry, kaiser_taper, taper_fine
+
+    n_t, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
+    uvw0 = uvw_lambda(f_ref, uvw)                  # reference wavelengths
+    wts = _weights_multi(theta, lam, uvw0, ratios, vis_mc.shape[1])
+    uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
+    neg = uvw0[:, 1] < 0
+    vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
+        * wts.astype(vis_mc.dtype)
+
+    if use_pallas:
+        from ..kernels.idg_pallas import (idg_bin_records_multi,
+                                          idg_grid_from_records,
+                                          idg_records_for_channel)
+
+        base, vis_s, starts = idg_bin_records_multi(
+            (n_grid, n_grid), uvw1 / lam, uvw1[:, 2],
+            jnp.real(vis1), jnp.imag(vis1), subgrid=subgrid,
+        )
+
+        def body(_, rv):
+            r, vc = rv
+            recs, nm = idg_records_for_channel(base, vc, r,
+                                               subgrid=subgrid)
+            gr, gi = idg_grid_from_records(
+                recs, starts, (n_grid, n_grid), theta=theta_g,
+                subgrid=subgrid, taper_beta=taper_beta,
+            )
+            return 0, (gr, gi, nm)
+
+        _, (g_re, g_im, masked) = jax.lax.scan(
+            body, 0, (ratios.astype(jnp.float32), vis_s))
+        grids = jax.lax.complex(g_re, g_im)
+    else:
+        from ..kernels import idg_gridder
+
+        gs, ms = [], []
+        for c in range(g):
+            r = ratios[c]
+            gs.append(idg_gridder(
+                (n_grid, n_grid), uvw1 / lam * r, uvw1[:, 2] * r, vis1[c],
+                theta=theta_g, subgrid=subgrid, taper_beta=taper_beta,
+            ))
+            ms.append(jnp.int32(0))
+        grids = jnp.stack(gs)
+        masked = jnp.stack(ms)
+
+    img = jnp.real(ifft_centered(make_grid_hermitian(grids)))
+    tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
+                    ).astype(img.dtype)
+    img = img / (tf[None, :, None] * tf[None, None, :])
+    if n_grid != n_t:
+        img = img * ((n_grid / n_t) ** 2)
+        img = img[:, crop_lo:crop_lo + n_t, crop_lo:crop_lo + n_t]
+    return img, masked
+
+
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "g", "subgrid", "taper_beta",
+                          "max_runs", "drift_cells", "fov_pad",
+                          "use_pallas"))
+def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios, vis_mc, *,
+                           theta, lam, g, subgrid=64, taper_beta=12.0,
+                           max_runs=4096, drift_cells=0, fov_pad=None,
+                           use_pallas=True):
+    """One channel GROUP through IDG-AW (image-domain antenna screens):
+    one (pair, uv-tile) run sort, per-channel updates.  Returns
+    (cube [g, n, n], per-channel drop counts [g] — base chunking drops
+    plus the channel's own recheck masks)."""
+    from ..ops.idg import fov_pad_geometry, kaiser_taper, taper_fine
+
+    n_t, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
+    uvw0 = uvw_lambda(f_ref, uvw)
+    wts = _weights_multi(theta, lam, uvw0, ratios, vis_mc.shape[1])
+    uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
+    neg = uvw0[:, 1] < 0
+    vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
+        * wts.astype(vis_mc.dtype)
+
+    if use_pallas:
+        from ..kernels.idg_aw_pallas import (idg_aw_grid_from_records,
+                                             idg_aw_records_for_channel,
+                                             idg_aw_run_records_multi)
+
+        (base, vis_s, st, en, y0, x0, i1, i2, nd0, _hw) = \
+            idg_aw_run_records_multi(
+                (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2],
+                jnp.real(vis1), jnp.imag(vis1), subgrid=subgrid,
+                max_runs=max_runs, drift_cells=drift_cells,
+            )
+        s_re = jnp.real(screens).astype(jnp.float32)
+        s_im = jnp.imag(screens).astype(jnp.float32)
+
+        def body(_, rv):
+            r, vc = rv
+            recs, nm = idg_aw_records_for_channel(base, vc, r,
+                                                  subgrid=subgrid)
+            gr, gi = idg_aw_grid_from_records(
+                recs, st, en, y0, x0, i1, i2, (n_grid, n_grid),
+                s_re, s_im, theta=theta_g, subgrid=subgrid,
+                taper_beta=taper_beta,
+            )
+            return 0, (gr, gi, nm)
+
+        _, (g_re, g_im, masked) = jax.lax.scan(
+            body, 0, (ratios.astype(jnp.float32), vis_s))
+        grids = jax.lax.complex(g_re, g_im)
+        dropped = masked + nd0
+    else:
+        from ..ops.idg_aw import idg_grid_aw
+
+        gs, ds = [], []
+        for c in range(g):
+            r = ratios[c]
+            guv, nd = idg_grid_aw(
+                (n_grid, n_grid), uvw1 / lam * r, a1, a2, uvw1[:, 2] * r,
+                vis1[c], screens, theta=theta_g, subgrid=subgrid,
+                taper_beta=taper_beta, max_runs=max_runs,
+            )
+            gs.append(guv)
+            ds.append(nd)
+        grids = jnp.stack(gs)
+        dropped = jnp.stack(ds)
+
+    img = jnp.real(ifft_centered(make_grid_hermitian(grids)))
+    tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
+                    ).astype(img.dtype)
+    img = img / (tf[None, :, None] * tf[None, None, :])
+    if n_grid != n_t:
+        img = img * ((n_grid / n_t) ** 2)
+        img = img[:, crop_lo:crop_lo + n_t, crop_lo:crop_lo + n_t]
+    return img, dropped
+
+
+@partial(complex_safe_jit,
+         static_argnames=("theta", "lam", "g", "chunk"))
+def _wproj_multi_pipeline(bank_conj, wbins, uvw, f_ref, ratios, vis_mc, *,
+                          theta, lam, g, chunk=8192):
+    """One channel GROUP through w-projection.  The resident-grid scatter
+    needs no binning at all, so per-channel work is simply the scaled
+    scatter — a ``lax.scan`` over channels sharing one kernel instance.
+    Returns the cube [g, n, n]."""
+    n_grid = int(round(theta * lam))
+    from ..kernels import wproj_gridder
+
+    uvw0 = uvw_lambda(f_ref, uvw)
+    wts = _weights_multi(theta, lam, uvw0, ratios, vis_mc.shape[1])
+    uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
+    neg = uvw0[:, 1] < 0
+    vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
+        * wts.astype(vis_mc.dtype)
+
+    def body(_, rv):
+        r, vc = rv
+        p_c = uvw1 * r / lam
+        wbin = find_closest(wbins, uvw1[:, 2] * r)
+        guv = wproj_gridder(bank_conj, (n_grid, n_grid), p_c, wbin, vc,
+                            chunk=chunk)
+        return 0, guv
+
+    _, grids = jax.lax.scan(body, 0,
+                            (ratios.astype(uvw0.dtype), vis1))
+    return jnp.real(ifft_centered(make_grid_hermitian(grids)))
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+
+def _finish_cube(cube, outfile, timer):
+    img_mean = cube.mean(axis=0)
+    mx = float(img_mean.max()) if img_mean.size else 0.0
+    if outfile is not None:
+        with timer.phase("write/img"):
+            h5.create_file(outfile)
+            h5.write_dataset(outfile, schema.IMG_DATASET,
+                             np.asarray(img_mean, np.float64))
+            h5.write_dataset(outfile, schema.IMG_CUBE_DATASET,
+                             np.asarray(cube, np.float64))
+    return mx, img_mean
+
+
+def _use_pallas() -> bool:
+    from .. import kernels
+
+    return kernels._resolved_impl() == "pallas"
+
+
+def _surface_drops(dropped_per_chan, n, timer):
+    import sys
+
+    total = int(np.sum(dropped_per_chan))
+    timer.counters["multichannel/dropped"] = float(total)
+    if total > 0:
+        print(
+            f"warning: multi-channel run dropped {total} channel-records "
+            f"({100.0 * total / max(n, 1):.3f}% of channel-visibilities) "
+            "whose per-channel drift left their binning window — "
+            "per-channel counts: "
+            + ",".join(str(int(d)) for d in dropped_per_chan),
+            file=sys.stderr,
+        )
+
+
+def idg_gridding_multi(
+    datfile: str,
+    channels: int,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    subgrid: int = 64,
+    taper_beta: float = 12.0,
+    fov_pad: Optional[float] = None,
+):
+    """Multi-channel IDG imaging: every channel imaged at its own
+    frequency, binning amortized per channel group.  Returns
+    (continuum-image max, continuum image, cube [nch, n, n])."""
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    n = n if n is not None else data.vis.shape[0]
+    nch = min(channels, data.frequencies.shape[0])
+    freqs = np.asarray(data.frequencies[:nch], np.float64)
+    vis_mc = np.ascontiguousarray(
+        data.vis_chan[:n, :nch].T.astype(prec.np_complex))
+
+    from ..ops.idg import fov_pad_geometry
+
+    _, n_grid, _, _ = fov_pad_geometry(theta, lam, fov_pad)
+    ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam, n_grid)
+    # centered-stride slack of the multi binning (idg_bin_records_multi)
+    S, s = subgrid, 15
+    slack = (S - s) // 2 - S // 4 - 1
+    groups = plan_channel_groups(freqs, ext, max(slack, 1))
+
+    cube = np.zeros((nch, int(round(theta * lam)), int(round(theta * lam))),
+                    prec.np_real)
+    drops = np.zeros((nch,), np.int64)
+    with timer.phase("h2d+compile+grid+fft"):
+        for (i, j, f_ref, _drift) in groups:
+            ratios = (freqs[i:j] / f_ref).astype(prec.np_real)
+            img, masked = _idg_multi_pipeline(
+                np.asarray(data.uvw[:n], prec.np_real),
+                np.asarray(f_ref, prec.np_real),
+                ratios, vis_mc[i:j],
+                theta=theta, lam=lam, g=j - i, subgrid=subgrid,
+                taper_beta=taper_beta, fov_pad=fov_pad,
+                use_pallas=_use_pallas(),
+            )
+            cube[i:j] = np.asarray(img)
+            drops[i:j] = np.asarray(masked)
+    _surface_drops(drops, n, timer)
+    mx, img_mean = _finish_cube(cube, outfile, timer)
+    return mx, img_mean, cube
+
+
+def aw_idg_gridding_multi(
+    afile: str,
+    datfile: str,
+    channels: int,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    subgrid: int = 64,
+    taper_beta: float = 12.0,
+    fov_pad: Optional[float] = None,
+):
+    """Multi-channel IDG-AW imaging (direction-dependent antenna screens).
+    A-kernels are picked at the closest time/frequency per GROUP (the
+    reference's closest-slot semantics, per group center).  Returns
+    (continuum max, continuum image, cube)."""
+    from ..ops.idg import fov_pad_geometry
+    from ..ops.idg_aw import aw_screens_host
+
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    n = n if n is not None else data.vis.shape[0]
+    nch = min(channels, data.frequencies.shape[0])
+    freqs = np.asarray(data.frequencies[:nch], np.float64)
+    vis_mc = np.ascontiguousarray(
+        data.vis_chan[:n, :nch].T.astype(prec.np_complex))
+    a1 = np.asarray(data.antenna1[:n], np.int64)
+    a2 = np.asarray(data.antenna2[:n], np.int64)
+    nant_b = int(max(a1.max(initial=0), a2.max(initial=0))) + 2
+    npair = len(np.unique(a1 * nant_b + a2))
+
+    n_t, n_grid, _, _ = fov_pad_geometry(theta, lam, fov_pad)
+    fov_scale = n_grid / n_t
+    ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam, n_grid)
+    margin_full = subgrid // 2 - 15 // 2 - 12
+    # allow up to half the taper margin as drift; tiles shrink to match
+    groups = plan_channel_groups(freqs, ext, max(margin_full // 2, 1))
+
+    cube = np.zeros((nch, n_t, n_t), prec.np_real)
+    drops = np.zeros((nch,), np.int64)
+    with timer.phase("h2d+compile+grid+fft"):
+        for (i, j, f_ref, drift) in groups:
+            with timer.phase("ingest/akern"):
+                akerns = get_akernels(afile, theta, float(data.time[0]),
+                                      f_ref)
+            screens = aw_screens_host(
+                np.asarray(akerns, prec.np_complex), subgrid,
+                fov_scale=fov_scale,
+            ).astype(prec.np_complex)
+            ratios = (freqs[i:j] / f_ref).astype(prec.np_real)
+            # smaller tiles under drift → more runs per pair track
+            tile_scale = max(1, (2 * margin_full - 2)
+                             // max(2 * (margin_full - drift) - 2, 2))
+            max_runs = 8 * npair * tile_scale + n // 128 + 64
+            img, nd = _idg_aw_multi_pipeline(
+                screens,
+                np.asarray(data.uvw[:n], prec.np_real),
+                a1.astype(np.int32), a2.astype(np.int32),
+                np.asarray(f_ref, prec.np_real),
+                ratios, vis_mc[i:j],
+                theta=theta, lam=lam, g=j - i, subgrid=subgrid,
+                taper_beta=taper_beta, max_runs=max_runs,
+                drift_cells=drift, fov_pad=fov_pad,
+                use_pallas=_use_pallas(),
+            )
+            cube[i:j] = np.asarray(img)
+            drops[i:j] = np.asarray(nd)
+    _surface_drops(drops, n, timer)
+    mx, img_mean = _finish_cube(cube, outfile, timer)
+    return mx, img_mean, cube
+
+
+def w_gridding_multi(
+    wfile: str,
+    datfile: str,
+    channels: int,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+):
+    """Multi-channel w-projection imaging.  The resident-grid scatter
+    consumes records in arbitrary order (no binning), so channels scan
+    through one kernel instance with scaled coordinates.  Returns
+    (continuum max, continuum image, cube)."""
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    with timer.phase("ingest/wkern"):
+        wkerns, wbins = get_wkernels(wfile, theta)
+    n = n if n is not None else data.vis.shape[0]
+    nch = min(channels, data.frequencies.shape[0])
+    freqs = np.asarray(data.frequencies[:nch], np.float64)
+    vis_mc = np.ascontiguousarray(
+        data.vis_chan[:n, :nch].T.astype(prec.np_complex))
+
+    # one group: w-projection has no binning to drift out of; the w-plane
+    # assignment re-runs per channel (find_closest on scaled w)
+    f_ref = 0.5 * (freqs[0] + freqs[-1])
+    ratios = (freqs / f_ref).astype(prec.np_real)
+    with timer.phase("h2d+compile+grid+fft"):
+        cube = _wproj_multi_pipeline(
+            np.conj(np.asarray(wkerns, prec.np_complex)),
+            np.asarray(wbins, prec.np_real),
+            np.asarray(data.uvw[:n], prec.np_real),
+            np.asarray(f_ref, prec.np_real),
+            ratios, vis_mc,
+            theta=theta, lam=lam, g=nch, chunk=min(8192, max(256, n)),
+        )
+        cube = np.asarray(cube)
+    mx, img_mean = _finish_cube(cube, outfile, timer)
+    return mx, img_mean, cube

@@ -33,9 +33,9 @@ def load_vis_sharded(datfile: str, mesh: Mesh, n: int | None = None):
     over all mesh axes (visibility-parallel).  ``n`` is truncated to a
     multiple of the mesh size.
     """
-    vshape = h5.dataset_shape(datfile, schema.VIS_VIS)
-    n_total = int(np.prod(vshape))
-    nbl = int(np.prod(vshape[1:]))
+    from ..models.dataset import vis_record_geometry
+
+    n_total, nbl, nch = vis_record_geometry(datfile)
     ndev = mesh.devices.size
     n = min(n, n_total) if n is not None else n_total
     n -= n % ndev                       # equal shards
@@ -48,7 +48,7 @@ def load_vis_sharded(datfile: str, mesh: Mesh, n: int | None = None):
     t1 = (s0 + per_proc - 1) // nbl + 1
     block = np.asarray(
         h5.read_dataset_slice(datfile, schema.VIS_VIS, t0, t1 - t0)
-    ).reshape(-1)
+    ).reshape(-1, nch)[:, 0]
     off = s0 - t0 * nbl
     vis_local = block[off:off + per_proc]
     freq = float(

@@ -1,0 +1,452 @@
+"""Multi-channel (spectral-cube) imaging: bin once, image every channel.
+
+The reference reads the whole ``/vis/frequency`` vector but images only
+channel 0 (``/root/reference/src/ImageDataset.hs:99-106``).  The
+multi-channel drivers (``models/spectral.py``) image EVERY channel at
+its own frequency while paying record binning/sorting ONCE per channel
+group — the capability behind the sustained from-records rates.
+
+Contracts asserted here:
+
+1. ``plan_channel_groups`` covers all channels with contiguous groups
+   whose per-channel coordinate drift fits the recheck slack.
+2. The per-channel record update (``idg_records_for_channel`` /
+   ``idg_aw_records_for_channel``) reconstructs the channel's absolute
+   grid coordinates exactly (dilation about the grid center:
+   pos_c − center = r·(pos_ref − center)).
+3. Kernel-level (interpret mode): bin-once + per-channel update grids
+   equal fresh per-channel binning at the scaled coordinates.
+4. Driver-level: every channel of the cube matches a single-channel run
+   of the same pipeline on a file holding only that channel.
+5. Records a channel's drift pushes outside the binning window are
+   zeroed AND counted (the honesty contract).
+6. The CLI ``--channels N`` path writes ``/img_cube`` [nch, n, n] with
+   ``/img`` the channel mean.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ska_sdp_tpu.config import GridParams, ImagingConfig
+from ska_sdp_tpu.io import h5, schema
+from ska_sdp_tpu.io.synthetic import (
+    SyntheticConfig,
+    generate_dataset,
+    write_vis_file,
+)
+from ska_sdp_tpu.models import dataset as ds
+from ska_sdp_tpu.models import spectral
+
+N, THETA = 256, 0.05
+
+
+# ---------------------------------------------------------------------------
+# group planning
+# ---------------------------------------------------------------------------
+
+
+class TestPlanChannelGroups:
+    def test_narrowband_single_group(self):
+        # span 1.5e6 Hz about f_ref -> max|r-1|*ext ~ 4.98 cells <= 6
+        freqs = 1.5e8 + 1e5 * np.arange(16)
+        groups = spectral.plan_channel_groups(freqs, 1000.0, 6.0)
+        assert len(groups) == 1
+        i, j, f_ref, drift = groups[0]
+        assert (i, j) == (0, 16)
+        assert drift <= 6
+
+    def test_wideband_splits_and_tiles(self):
+        # 40% fractional bandwidth over 32 channels, 100-cell lever arm
+        freqs = 1.5e8 * (1.0 + 0.4 * np.arange(32) / 31)
+        ext, slack = 100.0, 3.0
+        groups = spectral.plan_channel_groups(freqs, ext, slack)
+        assert len(groups) > 1
+        # contiguous exact tiling of [0, nch)
+        stops = [0] + [g[1] for g in groups]
+        starts = [g[0] for g in groups] + [32]
+        assert stops == starts
+        # every group honors the drift bound it reports
+        for i, j, f_ref, drift in groups:
+            d = np.max(np.abs(freqs[i:j] / f_ref - 1.0)) * ext
+            assert d <= slack + 1e-9
+            assert drift >= int(np.floor(d))
+
+    def test_degenerate_single_channel_groups(self):
+        # drift bound unsatisfiable -> every channel its own group
+        freqs = np.array([1.0e8, 2.0e8, 3.0e8])
+        groups = spectral.plan_channel_groups(freqs, 1e6, 1.0)
+        assert [(g[0], g[1]) for g in groups] == [(0, 1), (1, 2), (2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# kernel-level: record update + interpret-mode gridding parity
+# ---------------------------------------------------------------------------
+
+
+def _idg_problem(rng, b=300, lo=0.3):
+    p = rng.uniform(-lo, lo, (b, 3)).astype(np.float32)
+    w = rng.uniform(-250.0, 250.0, b).astype(np.float32)
+    vis = (rng.standard_normal(b) + 1j * rng.standard_normal(b)).astype(
+        np.complex64
+    )
+    return p, w, vis
+
+
+class TestChannelRecordUpdate:
+    def test_geometry_reconstructs_absolute_positions(self, rng):
+        """dy_c must land the record at its channel-dilated ABSOLUTE grid
+        position: posy_c = N/2 + p_y·r·N + PADM, checked against
+        dy_c + subgrid-center (= cy + grid-center)."""
+        from ska_sdp_tpu.kernels.idg_pallas import (
+            idg_bin_records_multi,
+            idg_records_for_channel,
+        )
+
+        p, w, vis = _idg_problem(rng)
+        r = 1.015
+        base, vis_s, _ = idg_bin_records_multi(
+            (N, N), jnp.asarray(p), jnp.asarray(w),
+            jnp.asarray(vis.real, jnp.float32)[None],
+            jnp.asarray(vis.imag, jnp.float32)[None], subgrid=64,
+        )
+        recs, nm = idg_records_for_channel(base, vis_s[0], r, subgrid=64)
+        assert int(nm) == 0
+        flat = np.asarray(recs).transpose(1, 0, 2).reshape(8, -1)
+        base_np = np.asarray(base)
+        live = base_np[5] > 0
+        PADM = 32  # subgrid // 2
+        center = N // 2 + PADM
+        # sorted absolute reference position from the base rows
+        posy_ref = base_np[0] + base_np[3] + center
+        posy_chan_true = (posy_ref - center) * r + center
+        got = flat[0][: base_np.shape[1]] + base_np[3] + center
+        np.testing.assert_allclose(
+            got[live], posy_chan_true[live], atol=1e-3
+        )
+        # w scales linearly
+        np.testing.assert_allclose(
+            flat[2][: base_np.shape[1]][live], base_np[2][live] * r,
+            rtol=1e-6,
+        )
+
+    def test_drift_overflow_masked_and_counted(self, rng):
+        """A ratio far outside the planned slack zeroes the escaping
+        records' vis rows and reports them in n_masked."""
+        from ska_sdp_tpu.kernels.idg_pallas import (
+            idg_bin_records_multi,
+            idg_records_for_channel,
+        )
+
+        p, w, vis = _idg_problem(rng, lo=0.42)
+        base, vis_s, _ = idg_bin_records_multi(
+            (N, N), jnp.asarray(p), jnp.asarray(w),
+            jnp.asarray(vis.real, jnp.float32)[None],
+            jnp.asarray(vis.imag, jnp.float32)[None], subgrid=64,
+        )
+        recs, nm = idg_records_for_channel(base, vis_s[0], 1.3, subgrid=64)
+        assert int(nm) > 0
+        flat = np.asarray(recs).transpose(1, 0, 2).reshape(8, -1)
+        # masked records carry zero vis (branch-free drop) — same window
+        # predicate the kernel applies: floor(d+S/2+0.5)-s//2 in [0, S-s]
+        s, S = 15, 64
+        lo, hi = s // 2 - S / 2 - 0.5, S / 2 - s + s // 2 + 0.5
+        out = ~((flat[0] >= lo) & (flat[0] < hi)
+                & (flat[1] >= lo) & (flat[1] < hi))
+        assert np.any(out)
+        assert np.all(flat[3][out] == 0.0) and np.all(flat[4][out] == 0.0)
+
+    def test_idg_multi_matches_fresh_binning_interpret(self, rng):
+        """Bin once at f_ref + elementwise channel update == fresh
+        binning at the channel's own scaled coordinates (same kernel,
+        interpret mode).  Placement differences (centered vs plain
+        stride) contribute only float-accumulation noise ~1e-5."""
+        from ska_sdp_tpu.kernels.idg_pallas import (
+            idg_bin_records_multi,
+            idg_grid_from_records,
+            idg_gridder_pallas,
+            idg_records_for_channel,
+        )
+
+        p, w, vis = _idg_problem(rng)
+        vr = jnp.asarray(vis.real, jnp.float32)[None]
+        vi = jnp.asarray(vis.imag, jnp.float32)[None]
+        base, vis_s, starts = idg_bin_records_multi(
+            (N, N), jnp.asarray(p), jnp.asarray(w), vr, vi, subgrid=64,
+        )
+        for r in (0.97, 1.02):
+            recs, nm = idg_records_for_channel(base, vis_s[0], r,
+                                               subgrid=64)
+            assert int(nm) == 0
+            gr, gi = idg_grid_from_records(
+                recs, starts, (N, N), theta=THETA, subgrid=64,
+                interpret=True,
+            )
+            got = np.asarray(jax.lax.complex(gr, gi))
+            want = np.asarray(idg_gridder_pallas(
+                (N, N), jnp.asarray(p * r), jnp.asarray(w * r),
+                jnp.asarray(vis), theta=THETA, subgrid=64, interpret=True,
+            ))
+            rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+            assert rel < 1e-4, (r, rel)
+
+    def test_idg_aw_multi_matches_fresh_runs_interpret(self, rng):
+        """IDG-AW: one (pair, uv-tile) run sort at f_ref + per-channel
+        update == fresh run sorting at the channel's coordinates."""
+        from ska_sdp_tpu.kernels.idg_aw_pallas import (
+            idg_aw_grid_from_records,
+            idg_aw_grid_pallas,
+            idg_aw_records_for_channel,
+            idg_aw_run_records_multi,
+        )
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        nant, ntime = 4, 48
+        pairs = [(i, j) for i in range(nant) for j in range(i + 1, nant)]
+        nbl = len(pairs)
+        u0 = rng.uniform(-0.25, 0.25, (nbl, 2))
+        du = rng.uniform(-15.0 / N, 15.0 / N, (nbl, 2))
+        w0 = rng.uniform(-250.0, 250.0, nbl)
+        dw = rng.uniform(-20.0, 20.0, nbl)
+        rows = []
+        for t in range(ntime):
+            ft = t / ntime
+            for b, (i, j) in enumerate(pairs):
+                uv = u0[b] + du[b] * ft
+                rows.append((uv[0], uv[1], w0[b] + dw[b] * ft, i, j))
+        arr = np.asarray(rows)
+        n = arr.shape[0]
+        p = np.zeros((n, 3), np.float32)
+        p[:, :2] = arr[:, :2]
+        w = arr[:, 2].astype(np.float32)
+        a1 = jnp.asarray(arr[:, 3].astype(np.int32))
+        a2 = jnp.asarray(arr[:, 4].astype(np.int32))
+        vis = (rng.standard_normal(n)
+               + 1j * rng.standard_normal(n)).astype(np.complex64)
+        mr = 8 * nbl + n // 128 + 64
+
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))
+        ).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), 64, dtype=jnp.complex64)
+        sre = jnp.real(scr).astype(jnp.float32)
+        sim = jnp.imag(scr).astype(jnp.float32)
+        pj, wj = jnp.asarray(p), jnp.asarray(w)
+        vr = jnp.asarray(vis.real, jnp.float32)[None]
+        vi = jnp.asarray(vis.imag, jnp.float32)[None]
+
+        base, vis_s, st, en, y0, x0, i1, i2, nd0, _hw = \
+            idg_aw_run_records_multi(
+                (N, N), pj, a1, a2, wj, vr, vi, subgrid=64,
+                max_runs=mr, drift_cells=4,
+            )
+        assert int(nd0) == 0
+        for r in (0.97, 1.02):
+            recs, nm = idg_aw_records_for_channel(base, vis_s[0], r,
+                                                  subgrid=64)
+            assert int(nm) == 0
+            gr, gi = idg_aw_grid_from_records(
+                recs, st, en, y0, x0, i1, i2, (N, N), sre, sim,
+                theta=THETA, subgrid=64, interpret=True,
+            )
+            got = np.asarray(jax.lax.complex(gr, gi))
+            gr2, gi2, nd2 = idg_aw_grid_pallas(
+                (N, N), pj * r, a1, a2, wj * r,
+                jnp.asarray(vis.real, jnp.float32),
+                jnp.asarray(vis.imag, jnp.float32),
+                sre, sim, theta=THETA, subgrid=64, max_runs=mr,
+                interpret=True,
+            )
+            assert int(nd2) == 0
+            want = np.asarray(jax.lax.complex(gr2, gi2))
+            rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+            assert rel < 1e-4, (r, rel)
+
+
+# ---------------------------------------------------------------------------
+# driver-level: cube channels == single-channel runs
+# ---------------------------------------------------------------------------
+
+
+CFG = SyntheticConfig(
+    theta=0.05, lam=3600, nant=6, ntime=48, nsources=3, nw_planes=4,
+    qpx=4, npix_ff=128, npix_kern=15, seed=11, nchan=4, chan_bw=2.0e6,
+)
+
+
+@pytest.fixture(scope="module")
+def spectral_dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("spectral")
+    paths, obs = generate_dataset(str(d), CFG)
+    # per-channel single-channel files: the parity reference
+    chan_files = []
+    for c in range(CFG.nchan):
+        o = dict(obs)
+        o["vis"] = obs["vis"][:, :, c:c + 1]
+        o["frequency"] = obs["frequency"][c:c + 1]
+        pth = os.path.join(str(d), f"vis_c{c}.h5")
+        write_vis_file(pth, o)
+        chan_files.append(pth)
+    return paths, obs, chan_files
+
+
+@pytest.fixture(scope="module")
+def imaging_config():
+    return ImagingConfig(
+        grid=GridParams(theta=CFG.theta, lam=CFG.lam),
+        precision_name="double",
+    )
+
+
+def _crop_rel(a, b, n_grid):
+    cr = n_grid // 8
+    d = (a - b)[cr:-cr, cr:-cr]
+    return np.linalg.norm(d) / np.linalg.norm(b[cr:-cr, cr:-cr])
+
+
+class TestSpectralDrivers:
+    def test_synthetic_frequency_vector(self, spectral_dataset):
+        _, obs, _ = spectral_dataset
+        assert obs["frequency"].shape == (CFG.nchan,)
+        assert obs["vis"].shape[2] == CFG.nchan
+        np.testing.assert_allclose(np.diff(obs["frequency"]), CFG.chan_bw)
+
+    def test_narrowband_plans_one_group(self, spectral_dataset):
+        """The parity runs below must actually exercise the shared-binning
+        path: assert the plan is a single group."""
+        _, obs, _ = spectral_dataset
+        n_grid = int(round(CFG.theta * CFG.lam))
+        ext = spectral.uv_extent_cells(
+            obs["uvw"], float(obs["frequency"][-1]), CFG.lam, n_grid)
+        groups = spectral.plan_channel_groups(obs["frequency"], ext, 7.0)
+        assert len(groups) == 1
+
+    def test_idg_cube_matches_single_channel_runs(self, spectral_dataset,
+                                                  imaging_config):
+        paths, obs, chan_files = spectral_dataset
+        n_grid = int(round(CFG.theta * CFG.lam))
+        mx, img, cube = spectral.idg_gridding_multi(
+            paths["vis"], CFG.nchan, config=imaging_config)
+        assert cube.shape == (CFG.nchan, n_grid, n_grid)
+        for c, f in enumerate(chan_files):
+            _, img1 = ds.idg_gridding(f, config=imaging_config)
+            assert _crop_rel(cube[c], img1, n_grid) < 1e-10, c
+        np.testing.assert_allclose(img, cube.mean(axis=0))
+        assert mx == pytest.approx(float(img.max()))
+
+    def test_w_cube_matches_single_channel_runs(self, spectral_dataset,
+                                                imaging_config):
+        paths, obs, chan_files = spectral_dataset
+        mx, img, cube = spectral.w_gridding_multi(
+            paths["wkern"], paths["vis"], CFG.nchan, config=imaging_config)
+        for c, f in enumerate(chan_files):
+            _, img1 = ds.w_gridding(paths["wkern"], f,
+                                    config=imaging_config)
+            rel = (np.linalg.norm(cube[c] - img1)
+                   / np.linalg.norm(img1))
+            assert rel < 1e-10, (c, rel)
+
+    def test_aw_idg_cube_matches_single_channel_runs(self, spectral_dataset,
+                                                     imaging_config):
+        paths, obs, chan_files = spectral_dataset
+        n_grid = int(round(CFG.theta * CFG.lam))
+        mx, img, cube = spectral.aw_idg_gridding_multi(
+            paths["akern"], paths["vis"], CFG.nchan, config=imaging_config)
+        for c, f in enumerate(chan_files):
+            _, img1 = ds.aw_gridding(paths["wkern"], paths["akern"], f,
+                                     config=imaging_config, idg=True)
+            assert _crop_rel(cube[c], img1, n_grid) < 1e-10, c
+
+    def test_output_file_layout(self, spectral_dataset, imaging_config,
+                                tmp_path):
+        paths, _, _ = spectral_dataset
+        out = str(tmp_path / "cube.h5")
+        mx, img, cube = spectral.idg_gridding_multi(
+            paths["vis"], CFG.nchan, outfile=out, config=imaging_config)
+        got_img = h5.read_dataset(out, schema.IMG_DATASET)
+        got_cube = h5.read_dataset(out, schema.IMG_CUBE_DATASET)
+        np.testing.assert_allclose(got_img, img)
+        np.testing.assert_allclose(got_cube, cube)
+
+    def test_channels_spectrally_distinct(self, spectral_dataset,
+                                          imaging_config):
+        """Different frequencies genuinely produce different images (the
+        cube is not nch copies of channel 0)."""
+        paths, _, _ = spectral_dataset
+        _, _, cube = spectral.idg_gridding_multi(
+            paths["vis"], CFG.nchan, config=imaging_config)
+        d = np.linalg.norm(cube[0] - cube[-1]) / np.linalg.norm(cube[0])
+        assert d > 1e-4
+
+
+class TestStreamingChannelZero:
+    """The single-channel STREAMING paths must keep the reference's
+    channel-0 semantics on multi-channel files — record counts exclude
+    the channel axis (regression: n was computed as ntime*nbl*nch and the
+    uvw slab reads ran off the end of the file)."""
+
+    def test_out_of_core_matches_in_core_on_multichannel_file(
+            self, spectral_dataset, imaging_config, tmp_path):
+        paths, obs, _ = spectral_dataset
+        mx_i, img_i = ds.w_gridding(paths["wkern"], paths["vis"],
+                                    config=imaging_config)
+        mx_o, img_o = ds.w_gridding_out_of_core(
+            paths["wkern"], paths["vis"], str(tmp_path / "ooc.ckpt"),
+            slab=100, config=imaging_config)
+        np.testing.assert_allclose(img_o, img_i, rtol=1e-9, atol=1e-12)
+
+    def test_sharded_ingest_reads_channel_zero(self, spectral_dataset):
+        from jax.sharding import Mesh
+
+        from ska_sdp_tpu.parallel.ingest import load_vis_sharded
+
+        paths, obs, _ = spectral_dataset
+        mesh = Mesh(np.array(jax.devices()), ("v",))
+        uvw, vis, freq = load_vis_sharded(paths["vis"], mesh)
+        data = ds.load_vis_data(paths["vis"])
+        n = vis.shape[0]
+        assert n == data.vis.shape[0] - data.vis.shape[0] % 8
+        np.testing.assert_allclose(np.asarray(vis), data.vis[:n])
+        np.testing.assert_allclose(np.asarray(uvw), data.uvw[:n])
+        assert freq == float(data.frequency)
+
+
+class TestCLIChannels:
+    def test_cli_images_four_channels(self, tmp_path):
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "8", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600", "--nchan", "4"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        out = str(tmp_path / "cube.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "idg",
+             "-i", d, "--all", "--backend", "cpu", "--channels", "4",
+             "-o", out, "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "imaged 4 channels" in r.stdout
+        cube = h5.read_dataset(out, schema.IMG_CUBE_DATASET)
+        img = h5.read_dataset(out, schema.IMG_DATASET)
+        assert cube.shape == (4, 80, 80)
+        # CLI default precision is single: /img is the f32 channel mean
+        np.testing.assert_allclose(img, cube.mean(axis=0),
+                                   rtol=1e-5, atol=1e-6)
