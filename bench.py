@@ -38,6 +38,40 @@ import numpy as np
 
 H100_CLASS_VIS_PER_SEC = 2.0e9
 
+# --- v5e roofline constants (public spec) -------------------------------
+# MXU peak 197 TFLOP/s bf16; f32 dots at precision=HIGHEST run as 6 bf16
+# passes => ~33 TFLOP/s of useful f32 flops.  VPU: 4 ALUs x (8,128) lanes
+# x 0.94 GHz ~= 3.85 TFLOP/s f32.  HBM ~819 GB/s.
+MXU_F32_HI = 197e12 / 6
+VPU_F32 = 3.85e12
+HBM_BPS = 819e9
+
+# Per-path work model (flops of USEFUL f32 work per visibility + the
+# dominated unit); BENCH.md "Roofline model" explains the derivation.
+# wproj family: 225 complex MACs (15^2 taps) = 1800 flops on the VPU,
+# plus a (24,384) f32 VMEM read-modify-write (73.7 KB) per record — the
+# measured design ceiling (25-40M vis/s) is that VMEM RMW, not flops.
+# IDG family: 4 (S,C)x(C,S) accumulation dots per block => 4*S^2 MACs =
+# 32768 flops/vis at S=64 on the MXU, plus 4*S=256 sin/cos per vis on
+# the VPU (the current wall — VERDICT r3 #2).
+# AW fused (split3): per-record A1~*A2~*W spectral sandwich, ~6 dense
+# (15,15)x(15,15) matmuls => ~162 Kflops/vis on the MXU.
+_WORK_MODEL = {
+    "wproj": (1800.0, VPU_F32, "VPU f32"),
+    "idg": (4 * 64 * 64 * 2.0, MXU_F32_HI, "MXU f32-HIGHEST"),
+    "aw_fused": (6 * 15**3 * 8.0, MXU_F32_HI, "MXU f32-HIGHEST"),
+}
+
+
+def _util(rate: float, model: str) -> dict:
+    """Utilization block for a measured vis/s rate (VERDICT r3 #3)."""
+    flops, peak, unit = _WORK_MODEL[model]
+    return {
+        "flops_per_vis": flops,
+        "util_pct_of_" + unit.replace(" ", "_").replace("-", "_"):
+            round(100.0 * rate * flops / peak, 3),
+    }
+
 # SKA1_Low scale (SURVEY §2 C18, §5): 2400² grid, qpx=8, 15² kernels.
 THETA, LAM = 0.008, 300000
 NW, QPX, S = 32, 8, 15
@@ -409,6 +443,66 @@ def main() -> None:
         print(f"sustained metrics skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # 6. END-TO-END multi-channel imaging through the DRIVER (VERDICT r3
+    # #1: the sustained rates must be a pipeline capability, not a
+    # from-records microbench).  Wall-clock of the full spectral driver
+    # (HDF5 ingest -> channel-group planning -> one binning per group ->
+    # per-channel kernel passes -> per-channel iFFT -> cube) divided by
+    # nch * n records.  First call pays compile; second is timed.
+    def _e2e_multichannel():
+        import tempfile
+
+        from ska_sdp_tpu.config import GridParams
+        from ska_sdp_tpu.config import ImagingConfig as _ICfg
+        from ska_sdp_tpu.io.synthetic import (SyntheticConfig,
+                                              simulate_observation,
+                                              write_vis_file)
+        from ska_sdp_tpu.models import spectral
+
+        nchan = 8
+        cfg = SyntheticConfig(theta=THETA, lam=LAM, nant=NANT, ntime=520,
+                              nchan=nchan, nsources=3, seed=5)
+        obs = simulate_observation(cfg)
+        d = tempfile.mkdtemp(prefix="ska_bench_mc_")
+        vpath = os.path.join(d, "vis.h5")
+        write_vis_file(vpath, obs)
+        icfg = _ICfg(grid=GridParams(theta=THETA, lam=LAM))
+        n_rec = obs["n"]
+
+        def run():
+            t0 = time.perf_counter()
+            mx, _img, cube = spectral.idg_gridding_multi(
+                vpath, nchan, config=icfg)
+            dt = time.perf_counter() - t0
+            assert np.isfinite(mx) and cube.shape[0] == nchan
+            return nchan * n_rec / dt
+
+        run()                                     # compile + warmup
+        return max(run(), run())
+
+    e2e_mc_rate = _best_effort("e2e_multichannel", _e2e_multichannel)
+
+    # 7. >VMEM-grid datapoint (VERDICT r3 #7): 4800^2-class grid through
+    # the tiled (non-resident) kernels — the large-grid story measured,
+    # not argued.
+    def _large_grid():
+        theta_lg = 0.016                          # 4800^2 at lam=300000
+        n_lg = int(round(theta_lg * LAM))
+
+        @jax.jit
+        def lg_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
+            bank_c = jax.lax.complex(bank_re, bank_im)
+            vis_c = jax.lax.complex(vis_re, vis_im + salt)
+            uvw1, vis1 = mirror_uvw(uvw_l, vis_c)
+            wbin = find_closest(centers, uvw1[:, 2])
+            g = wproj_gridder(bank_c, (n_lg, n_lg), uvw1 / LAM, wbin, vis1)
+            return (jnp.sum(jnp.abs(jnp.real(g)))
+                    + jnp.sum(jnp.abs(jnp.imag(g))))
+
+        return _rate(lg_step, args, N_VIS, k=3)
+
+    large_grid_rate = _best_effort("large_grid", _large_grid)
+
     print(
         json.dumps(
             {
@@ -416,41 +510,61 @@ def main() -> None:
                 "value": round(wproj_rate, 1),
                 "unit": "vis/s",
                 "vs_baseline": round(wproj_rate / H100_CLASS_VIS_PER_SEC, 4),
+                **_util(wproj_rate, "wproj"),
                 "extra_metrics": [
                     {
                         "metric": "degridding (grid->vis predict, same shape)",
                         "value": round(degrid_rate, 1),
                         "unit": "vis/s",
+                        **_util(degrid_rate, "wproj"),
                     },
                     {
                         "metric": "fused AW-projection (on-the-fly A1*A2*W, 64 ants; default split3 tier, 3.4e-6 rel err vs XLA oracle — SKA_SDP_TPU_AW_PRECISION=fast is ~1.4x faster at 2.5e-3)",
                         "value": round(aw_rate, 1),
                         "unit": "vis/s",
+                        **_util(aw_rate, "aw_fused"),
                     },
                     {
                         "metric": "full imaging step (scatter + hermitian + centered iFFT)",
                         "value": round(full_rate, 1),
                         "unit": "vis/s",
+                        **_util(full_rate, "wproj"),
                     },
                     {
                         "metric": "image-domain gridding (MXU subgrid matmuls, exact continuous-w placement)",
                         "value": round(idg_rate, 1),
                         "unit": "vis/s",
+                        **_util(idg_rate, "idg"),
                     },
                     {
                         "metric": "IDG degridding / predict (exact continuous-w adjoint)",
                         "value": round(idg_degrid_rate, 1),
                         "unit": "vis/s",
+                        **_util(idg_degrid_rate, "idg"),
                     },
                     {
                         "metric": "IDG-AW (image-domain A-screens, pair-chunked subgrids, baseline-track layout, 64 ants)",
                         "value": round(aw_idg_rate, 1),
                         "unit": "vis/s",
+                        **_util(aw_idg_rate, "idg"),
                     },
                     {
                         "metric": "SUSTAINED IDG-AW (run sort amortized across channel group)",
                         "value": round(aw_idg_sus, 1),
                         "unit": "vis/s",
+                        **_util(aw_idg_sus, "idg"),
+                    },
+                    {
+                        "metric": "END-TO-END multi-channel IDG (driver wall-clock: HDF5 ingest + group planning + binning + 8 channels + per-channel iFFT, 1.05M records x 8ch)",
+                        "value": round(e2e_mc_rate, 1),
+                        "unit": "vis/s",
+                        **_util(e2e_mc_rate, "idg"),
+                    },
+                    {
+                        "metric": "w-projection at 4800^2 (>VMEM grid, tiled kernel path)",
+                        "value": round(large_grid_rate, 1),
+                        "unit": "vis/s",
+                        **_util(large_grid_rate, "wproj"),
                     },
                     {
                         "metric": "IDG accuracy vs direct-DFT truth (rel err, central 75% FOV; see idg_fov_pad_plan for the full-FOV option)",
@@ -462,6 +576,7 @@ def main() -> None:
                         "metric": "SUSTAINED image-domain gridding (binning amortized across channel group)",
                         "value": round(sus_idg, 1),
                         "unit": "vis/s",
+                        **_util(sus_idg, "idg"),
                     },
                 ] if sus_idg else []),
             }

@@ -86,9 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device-phases", action="store_true",
         help="run the pipeline as separately-synchronized stages and "
-             "print per-stage DEVICE times (preprocess/scatter/FFT "
-             "shares; --mode w and idg) — the reference's dump_phases "
-             "analog; implies -dphases",
+             "print per-stage DEVICE times (preprocess/sort/kernel/FFT "
+             "shares; modes w, idg, aw and aw --idg) — the reference's "
+             "dump_phases analog; implies -dphases",
     )
     p.add_argument(
         "--trace-dir", default=None, help="write jax.profiler traces here"
@@ -282,12 +282,13 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             pred, peak = ds.aw_predict(
                 akern_path, vis_path, args.model, n=cfg.n_vis,
                 outfile=args.output, config=cfg, timer=timer,
-                subgrid=args.subgrid,
+                subgrid=args.subgrid, fov_pad=args.fov_pad,
             )
         elif args.idg:
             pred, peak = ds.idg_predict(
                 vis_path, args.model, n=cfg.n_vis, outfile=args.output,
                 config=cfg, timer=timer, subgrid=args.subgrid,
+                fov_pad=args.fov_pad,
             )
         else:
             pred, peak = ds.w_predict(
@@ -316,6 +317,7 @@ def _dispatch(args, cfg, timer, metrics, vis_path, wkern_path, akern_path):
             outfile=args.output, old=args.old, config=cfg, timer=timer,
             idg=args.idg, fov_pad=args.fov_pad if args.idg else None,
             subgrid=args.subgrid if args.idg else 64,
+            device_phases=args.device_phases,
         )
     elif args.mode == "w":
         if args.checkpoint and (args.device_phases or args.dump_intermediates):

@@ -234,6 +234,140 @@ def _wproj_pipeline(bank_conj, wbins, uvw, f, vis, *, theta, lam, chunk):
     return img, jnp.max(img)
 
 
+def _aw_fused_staged(wkerns, wbins, akerns, uvw, a1, a2, ts, f, vis, *,
+                     theta, lam, chunk, slab, timer):
+    """Stage-synchronized fused-AW pipeline (``--device-phases --mode
+    aw``): preprocess / fused AW kernel / hermitian+iFFT device times
+    (cf. ``_aw_pipeline``; results identical, cross-stage fusion lost)."""
+    from functools import partial as _partial
+
+    timer.dispatch_floor()
+
+    @_partial(jax.jit, static_argnames=("theta", "lam"))
+    def prep(uvw, f, vr, vi, *, theta, lam):
+        uvw0 = uvw_lambda(f, uvw)
+        wt = doweight(theta, lam, uvw0, jnp.ones_like(vr))
+        uvw1, vis1 = mirror_uvw(uvw0, jax.lax.complex(vr, vi))
+        vis1 = vis1 * wt.astype(vis1.dtype)
+        return uvw1, jnp.real(vis1), jnp.imag(vis1)
+
+    @_partial(jax.jit, static_argnames=("theta", "lam", "chunk", "slab"))
+    def kern(wk_re, wk_im, wbins, ak_re, ak_im, uvw1, a1, a2, ts, f,
+             vr1, vi1, *, theta, lam, chunk, slab):
+        g = aw_imaging(
+            theta, lam, jax.lax.complex(wk_re, wk_im), wbins,
+            jax.lax.complex(ak_re, ak_im), uvw1, (a1, a2, ts, f),
+            jax.lax.complex(vr1, vi1), chunk=chunk, slab=slab,
+        )
+        return jnp.real(g), jnp.imag(g)
+
+    @jax.jit
+    def image(g_re, g_im):
+        g = jax.lax.complex(g_re, g_im)
+        img = jnp.real(ifft_centered(make_grid_hermitian(g)))
+        return img, jnp.max(img)
+
+    vr = np.ascontiguousarray(np.asarray(vis).real)
+    vi = np.ascontiguousarray(np.asarray(vis).imag)
+    uvw1, vr1, vi1 = timer.device_stage(
+        "preprocess", prep, uvw, f, vr, vi, theta=theta, lam=lam)
+    g_re, g_im = timer.device_stage(
+        "aw-fused-kernel", kern,
+        np.ascontiguousarray(np.asarray(wkerns).real),
+        np.ascontiguousarray(np.asarray(wkerns).imag),
+        np.asarray(wbins),
+        np.ascontiguousarray(np.asarray(akerns).real),
+        np.ascontiguousarray(np.asarray(akerns).imag),
+        uvw1, a1, a2, ts, f, vr1, vi1,
+        theta=theta, lam=lam, chunk=chunk, slab=slab)
+    img, mx = timer.device_stage("hermitian+ifft", image, g_re, g_im)
+    return np.asarray(img), float(mx)
+
+
+def _aw_idg_staged(screens, uvw, a1, a2, f, vis, *, theta, lam, subgrid,
+                   taper_beta, max_runs, timer, fov_pad=None):
+    """Stage-synchronized IDG-AW pipeline (``--device-phases --mode aw
+    --idg``): preprocess / run-sort / screen+kernel / image device times
+    (cf. ``_aw_idg_pipeline``; same fov_pad semantics)."""
+    from functools import partial as _partial
+
+    from .. import kernels
+    from ..ops.idg import (fov_pad_finish, fov_pad_geometry, kaiser_taper,
+                           taper_fine)
+
+    n, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
+    timer.dispatch_floor()
+
+    @_partial(jax.jit, static_argnames=("theta", "lam"))
+    def prep(uvw, f, vr, vi, *, theta, lam):
+        uvw0 = uvw_lambda(f, uvw)
+        wt = doweight(theta, lam, uvw0, jnp.ones_like(vr))
+        uvw1, vis1 = mirror_uvw(uvw0, jax.lax.complex(vr, vi))
+        vis1 = vis1 * wt.astype(vis1.dtype)
+        return uvw1, jnp.real(vis1), jnp.imag(vis1)
+
+    @jax.jit
+    def image(g_re, g_im):
+        g = jax.lax.complex(g_re, g_im)
+        img = jnp.real(ifft_centered(make_grid_hermitian(g)))
+        tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
+                        ).astype(img.dtype)
+        img = img / (tf[:, None] * tf[None, :])
+        img = fov_pad_finish(img, n, n_grid, crop_lo)
+        return img, jnp.max(img)
+
+    vr = np.ascontiguousarray(np.asarray(vis).real)
+    vi = np.ascontiguousarray(np.asarray(vis).imag)
+    s_re = np.ascontiguousarray(np.asarray(screens).real)
+    s_im = np.ascontiguousarray(np.asarray(screens).imag)
+    uvw1, vr1, vi1 = timer.device_stage(
+        "preprocess", prep, uvw, f, vr, vi, theta=theta, lam=lam)
+
+    if kernels._resolved_impl() == "pallas":
+        from ..kernels.idg_aw_pallas import (idg_aw_grid_from_records,
+                                             idg_aw_run_records)
+
+        @jax.jit
+        def sort_stage(uvw1, a1, a2, vr1, vi1):
+            return idg_aw_run_records(
+                (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2],
+                vr1, vi1, subgrid=subgrid, max_runs=max_runs,
+            )
+
+        @jax.jit
+        def kern_stage(recs, st, en, y0, x0, i1, i2, s_re, s_im):
+            return idg_aw_grid_from_records(
+                recs, st, en, y0, x0, i1, i2, (n_grid, n_grid),
+                s_re, s_im, theta=theta_g, subgrid=subgrid,
+                taper_beta=taper_beta,
+            )
+
+        recs, st, en, y0, x0, i1, i2, nd, _hw = timer.device_stage(
+            "run-sort", sort_stage, uvw1, a1, a2, vr1, vi1)
+        g_re, g_im = timer.device_stage(
+            "idg-aw-kernel", kern_stage, recs, st, en, y0, x0, i1, i2,
+            s_re, s_im)
+    else:
+        from ..ops.idg_aw import idg_grid_aw
+
+        @jax.jit
+        def grid_stage(uvw1, a1, a2, vr1, vi1, s_re, s_im):
+            g, nd = idg_grid_aw(
+                (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2],
+                jax.lax.complex(vr1, vi1),
+                jax.lax.complex(s_re, s_im), theta=theta_g,
+                subgrid=subgrid, taper_beta=taper_beta,
+                max_runs=max_runs,
+            )
+            return jnp.real(g), jnp.imag(g), nd
+
+        g_re, g_im, nd = timer.device_stage(
+            "idg-aw-grid", grid_stage, uvw1, a1, a2, vr1, vi1, s_re, s_im)
+
+    img, mx = timer.device_stage("hermitian+ifft+taper", image, g_re, g_im)
+    return np.asarray(img), float(mx), int(nd)
+
+
 @partial(complex_safe_jit,
          static_argnames=("theta", "lam", "subgrid", "taper_beta",
                           "max_runs", "fov_pad"))
@@ -287,9 +421,14 @@ def aw_gridding(
     idg: bool = False,
     fov_pad: Optional[float] = None,
     subgrid: int = 64,
+    device_phases: bool = False,
 ):
     """Full AW-projection imaging run (reference ``aw_gridding``,
     ``ImageDataset.hs:29-83``).  Returns (image max, image ndarray).
+
+    ``device_phases=True`` runs stage-synchronized variants with
+    per-stage device times (``_aw_fused_staged`` / ``_aw_idg_staged``) —
+    the observability analog of the reference's ``dump_phases``.
 
     ``old`` selects the reference's convgrid3 scheduling variant; our batched
     gridder is numerically identical for both, so it only changes logging.
@@ -334,15 +473,27 @@ def aw_gridding(
                 np.asarray(akerns, prec.np_complex), subgrid,
                 fov_scale=fov_scale,
             ).astype(prec.np_complex)
-            img, mx, nd = _aw_idg_pipeline(
-                screens,
-                np.asarray(data.uvw[:n], prec.np_real),
-                a1.astype(np.int32), a2.astype(np.int32),
-                np.asarray(data.frequency, prec.np_real),
-                np.asarray(data.vis[:n], prec.np_complex),
-                theta=theta, lam=lam, max_runs=max_runs, fov_pad=fov_pad,
-                subgrid=subgrid,
-            )
+            if device_phases:
+                img, mx, nd = _aw_idg_staged(
+                    screens,
+                    np.asarray(data.uvw[:n], prec.np_real),
+                    a1.astype(np.int32), a2.astype(np.int32),
+                    np.asarray(data.frequency, prec.np_real),
+                    np.asarray(data.vis[:n], prec.np_complex),
+                    theta=theta, lam=lam, subgrid=subgrid,
+                    taper_beta=12.0, max_runs=max_runs, timer=timer,
+                    fov_pad=fov_pad,
+                )
+            else:
+                img, mx, nd = _aw_idg_pipeline(
+                    screens,
+                    np.asarray(data.uvw[:n], prec.np_real),
+                    a1.astype(np.int32), a2.astype(np.int32),
+                    np.asarray(data.frequency, prec.np_real),
+                    np.asarray(data.vis[:n], prec.np_complex),
+                    theta=theta, lam=lam, max_runs=max_runs,
+                    fov_pad=fov_pad, subgrid=subgrid,
+                )
             img = np.asarray(img)
             mx = float(mx)
             nd = int(nd)
@@ -358,7 +509,7 @@ def aw_gridding(
     else:
         with timer.phase("h2d+compile+grid+fft"):
             # complex data stays numpy until the complex-safe jit boundary
-            img, mx = _aw_pipeline(
+            aw_args = (
                 np.asarray(wkerns, prec.np_complex),
                 np.asarray(wbins, prec.np_real),
                 np.asarray(akerns, prec.np_complex),
@@ -368,11 +519,18 @@ def aw_gridding(
                 np.asarray(data.time[:n], prec.np_real),
                 np.asarray(data.frequency, prec.np_real),
                 np.asarray(data.vis[:n], prec.np_complex),
-                theta=theta,
-                lam=lam,
-                chunk=min(8192, max(256, n)),
-                slab=config.aw_slab,
             )
+            if device_phases:
+                img, mx = _aw_fused_staged(
+                    *aw_args, theta=theta, lam=lam,
+                    chunk=min(8192, max(256, n)), slab=config.aw_slab,
+                    timer=timer,
+                )
+            else:
+                img, mx = _aw_pipeline(
+                    *aw_args, theta=theta, lam=lam,
+                    chunk=min(8192, max(256, n)), slab=config.aw_slab,
+                )
             img = np.asarray(img)
             mx = float(mx)
 
@@ -628,46 +786,63 @@ def _predict_pipeline(wkerns, wbins, img, uvw, f, *, theta, lam, chunk):
 
 
 @partial(complex_safe_jit,
-         static_argnames=("theta", "lam", "subgrid", "taper_beta"))
-def _idg_predict_pipeline(img, uvw, f, *, theta, lam, subgrid, taper_beta):
-    """Model image → IDG degridding (exact continuous-w prediction)."""
+         static_argnames=("theta", "lam", "subgrid", "taper_beta",
+                          "fov_pad"))
+def _idg_predict_pipeline(img, uvw, f, *, theta, lam, subgrid, taper_beta,
+                          fov_pad=None):
+    """Model image → IDG degridding (exact continuous-w prediction).
+
+    ``fov_pad`` embeds the model in a padded FOV before the taper
+    division (``fov_pad_start``), so predictions from edge sources carry
+    the same bounded accuracy as the padded gridding direction
+    (VERDICT r3 #8: round-trip workflows no longer mix a padded forward
+    with an edge-degraded reverse)."""
     from ..kernels import idg_degridder
     from ..ops import fft_centered
-    from ..ops.idg import kaiser_taper, taper_fine
+    from ..ops.idg import (fov_pad_geometry, fov_pad_start, kaiser_taper,
+                           taper_fine)
 
     uvw0 = uvw_lambda(f, uvw)
-    n = int(round(theta * lam))
-    tf = taper_fine(n, subgrid, kaiser_taper(subgrid, taper_beta))
+    n, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
+    imgp = fov_pad_start(img, n, n_grid, crop_lo)
+    tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta))
     tf2 = (tf[:, None] * tf[None, :]).astype(img.dtype)
-    grid = fft_centered((img / tf2).astype(
+    grid = fft_centered((imgp / tf2).astype(
         jnp.complex64 if img.dtype == jnp.float32 else jnp.complex128))
     return idg_degridder(
-        (n, n), uvw0 / lam, uvw0[:, 2], grid, theta=theta,
+        (n_grid, n_grid), uvw0 / lam, uvw0[:, 2], grid, theta=theta_g,
         subgrid=subgrid, taper_beta=taper_beta,
     )
 
 
 @partial(complex_safe_jit,
          static_argnames=("theta", "lam", "subgrid", "taper_beta",
-                          "max_runs"))
+                          "max_runs", "fov_pad"))
 def _aw_idg_predict_pipeline(screens, img, uvw, a1, a2, f, *, theta, lam,
-                             subgrid, taper_beta, max_runs):
+                             subgrid, taper_beta, max_runs, fov_pad=None):
     """Model image → IDG-AW degridding: continuous-(u,v,w) prediction
     WITH direction-dependent antenna terms (the exact adjoint of the
-    IDG-AW gridder).  Returns (vis, n_dropped)."""
+    IDG-AW gridder).  Returns (vis, n_dropped).
+
+    ``fov_pad`` as in :func:`_idg_predict_pipeline`; the caller must
+    sample ``screens`` at the padded FOV's angular scale
+    (``aw_screens_host(..., fov_scale=n_grid/n)``), mirroring the
+    gridding direction."""
     from ..kernels import idg_aw_degridder
     from ..ops import fft_centered
-    from ..ops.idg import kaiser_taper, taper_fine
+    from ..ops.idg import (fov_pad_geometry, fov_pad_start, kaiser_taper,
+                           taper_fine)
 
     uvw0 = uvw_lambda(f, uvw)
-    n = int(round(theta * lam))
-    tf = taper_fine(n, subgrid, kaiser_taper(subgrid, taper_beta))
+    n, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
+    imgp = fov_pad_start(img, n, n_grid, crop_lo)
+    tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta))
     tf2 = (tf[:, None] * tf[None, :]).astype(img.dtype)
-    grid = fft_centered((img / tf2).astype(
+    grid = fft_centered((imgp / tf2).astype(
         jnp.complex64 if img.dtype == jnp.float32 else jnp.complex128))
     return idg_aw_degridder(
-        (n, n), uvw0 / lam, a1, a2, uvw0[:, 2], grid, screens,
-        theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        (n_grid, n_grid), uvw0 / lam, a1, a2, uvw0[:, 2], grid, screens,
+        theta=theta_g, subgrid=subgrid, taper_beta=taper_beta,
         max_runs=max_runs,
     )
 
@@ -682,11 +857,14 @@ def aw_predict(
     timer: Optional[PhaseTimer] = None,
     subgrid: int = 64,
     taper_beta: float = 12.0,
+    fov_pad: Optional[float] = None,
 ):
     """Predict visibilities with direction-dependent antenna terms via
     IDG-AW degridding (cf. :func:`idg_predict`; screens from the akern
     bank at the dataset's closest time/frequency).  Chunking drops are
-    surfaced like the gridding direction.  Returns (pred, peak |vis|)."""
+    surfaced like the gridding direction.  ``fov_pad`` embeds the model
+    in a padded FOV (edge-accurate predictions; screens resampled at the
+    padded scale).  Returns (pred, peak |vis|)."""
     import sys
 
     from ..ops.idg_aw import aw_screens_host
@@ -714,8 +892,12 @@ def aw_predict(
     npair = len(np.unique(a1 * nant_b + a2))
     max_runs = 8 * npair + n // 128 + 64
     with timer.phase("h2d+compile+fft+degrid"):
+        from ..ops.idg import fov_pad_geometry
+
+        n_t, n_g, _, _ = fov_pad_geometry(theta, lam, fov_pad)
         screens = aw_screens_host(
-            np.asarray(akerns, prec.np_complex), subgrid
+            np.asarray(akerns, prec.np_complex), subgrid,
+            fov_scale=n_g / n_t,
         ).astype(prec.np_complex)
         pred, nd = _aw_idg_predict_pipeline(
             screens,
@@ -724,7 +906,7 @@ def aw_predict(
             a1.astype(np.int32), a2.astype(np.int32),
             np.asarray(data.frequency, prec.np_real),
             theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
-            max_runs=max_runs,
+            max_runs=max_runs, fov_pad=fov_pad,
         )
         pred = np.asarray(pred)
         nd = int(nd)
@@ -752,10 +934,12 @@ def idg_predict(
     timer: Optional[PhaseTimer] = None,
     subgrid: int = 32,
     taper_beta: float = 12.0,
+    fov_pad: Optional[float] = None,
 ):
     """Predict visibilities via IDG degridding — exact continuous
     (u, v, w) evaluation, no kernel bank needed (cf. :func:`w_predict`).
-    Returns (predicted ndarray, peak |vis|)."""
+    ``fov_pad`` embeds the model in a padded FOV for edge-accurate
+    predictions.  Returns (predicted ndarray, peak |vis|)."""
     timer = timer or PhaseTimer()
     prec = config.precision
     theta, lam = config.grid.theta, config.grid.lam
@@ -776,6 +960,7 @@ def idg_predict(
             np.asarray(data.uvw[:n], prec.np_real),
             np.asarray(data.frequency, prec.np_real),
             theta=theta, lam=lam, subgrid=subgrid, taper_beta=taper_beta,
+            fov_pad=fov_pad,
         )
         pred = np.asarray(pred)
     peak = float(np.abs(pred).max()) if pred.size else 0.0

@@ -237,6 +237,20 @@ def fov_pad_finish(img, n: int, n_grid: int, crop_lo: int):
     return img[crop_lo:crop_lo + n, crop_lo:crop_lo + n]
 
 
+def fov_pad_start(img, n: int, n_grid: int, crop_lo: int):
+    """PREDICT-direction companion of :func:`fov_pad_finish`: embed the
+    target-FOV model image into the padded grid (zeros outside — the
+    model asserts no sources beyond the target FOV).  No amplitude
+    rescale: the forward FFT is unnormalized, so each model pixel
+    contributes the same phase ramp regardless of grid size; padding
+    only moves the taper division to the padded image's interior, where
+    its error is bounded (``idg_fov_pad_plan`` bands)."""
+    if n_grid == n:
+        return img
+    return jnp.zeros((n_grid, n_grid), img.dtype).at[
+        crop_lo:crop_lo + n, crop_lo:crop_lo + n].set(img)
+
+
 def _dft_matrix(S: int, dtype):
     """Centered forward DFT matrix: F[y, q] = e^{-2πi (y-S/2)(q-S/2)/S}.
 

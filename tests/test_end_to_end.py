@@ -494,6 +494,83 @@ class TestIDGStagedParity:
         assert abs(mx_s - mx_p) < 1e-10 * scale
 
 
+class TestAWStagedParity:
+    """VERDICT r3 #8: --device-phases covers the AW modes; the staged
+    variants must be bit-compatible with the fused pipelines."""
+
+    def test_fused_aw_staged_matches_pipeline(self, dataset, imaging_config):
+        paths, obs = dataset
+        mx_p, img_p = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config,
+        )
+        mx_s, img_s = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config, device_phases=True,
+        )
+        scale = np.abs(img_p).max()
+        np.testing.assert_allclose(img_s, img_p, atol=1e-10 * scale)
+        assert abs(mx_s - mx_p) < 1e-10 * scale
+
+    def test_idg_aw_staged_matches_pipeline(self, dataset, imaging_config):
+        paths, obs = dataset
+        mx_p, img_p = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config, idg=True, fov_pad=0.75,
+        )
+        mx_s, img_s = ds.aw_gridding(
+            paths["wkern"], paths["akern"], paths["vis"],
+            config=imaging_config, idg=True, fov_pad=0.75,
+            device_phases=True,
+        )
+        assert img_s.shape == img_p.shape
+        scale = np.abs(img_p).max()
+        np.testing.assert_allclose(img_s, img_p, atol=1e-10 * scale)
+        assert abs(mx_s - mx_p) < 1e-10 * scale
+
+    def test_cli_aw_device_phases_printed(self, tmp_path):
+        """--device-phases --mode aw prints the fused-AW stage breakdown
+        (and --idg the IDG-AW one) — VERDICT r3 #8."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "3", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "aw",
+             "-i", d, "--all", "--backend", "cpu", "--device-phases",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        for stage in ("dispatch-floor", "preprocess", "aw-fused-kernel",
+                      "hermitian+ifft"):
+            assert f"[device-phase] {stage}" in r.stdout, r.stdout
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "aw",
+             "--idg", "-i", d, "--all", "--backend", "cpu",
+             "--device-phases", "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        for stage in ("dispatch-floor", "preprocess",
+                      "hermitian+ifft+taper"):
+            assert f"[device-phase] {stage}" in r.stdout, r.stdout
+        # XLA impl on CPU: single grid stage (Pallas splits it into
+        # run-sort + idg-aw-kernel; asserted in test_kernels)
+        assert "[device-phase] idg-aw-grid" in r.stdout, r.stdout
+
+
 class TestDumpIntermediates:
     def test_debug_dump_tree(self, tmp_path):
         """--dump-intermediates writes the uv-grid planes + image (the
@@ -653,6 +730,50 @@ class TestAWPredict:
                / np.linalg.norm(pred_idg))
         assert rel < 0.03, rel
         assert abs(peak_aw - peak_idg) / peak_idg < 0.05
+
+    def test_predict_fov_pad_drivers(self, dataset, imaging_config,
+                                     tmp_path):
+        """VERDICT r3 #8: the predict direction accepts fov_pad.  With an
+        interior-dominated model the padded and plain operators agree at
+        method level (edge accuracy itself is pinned by
+        test_idg.py::TestIDGPredictFovPad); the IDG-AW driver resamples
+        its screens at the padded scale."""
+        import h5py
+
+        paths, obs = dataset
+        model = str(tmp_path / "model.h5")
+        ds.w_gridding(paths["wkern"], paths["vis"], outfile=model,
+                      config=imaging_config)
+        pred_plain, _ = ds.idg_predict(
+            paths["vis"], model, config=imaging_config, subgrid=64)
+        pred_pad, _ = ds.idg_predict(
+            paths["vis"], model, config=imaging_config, subgrid=64,
+            fov_pad=0.75)
+        rel = (np.linalg.norm(pred_pad - pred_plain)
+               / np.linalg.norm(pred_plain))
+        assert rel < 0.03, rel
+
+        # IDG-AW predict with delta screens + fov_pad stays consistent
+        from ska_sdp_tpu.io import h5, schema
+
+        afile = str(tmp_path / "akern_delta.h5")
+        h5.create_file(afile)
+        s = 15
+        k = np.zeros((s, s), np.complex128)
+        k[s // 2, s // 2] = 1.0
+        data = ds.load_vis_data(paths["vis"])
+        t0 = schema.fmt_float(float(data.time[0]))
+        f0 = schema.fmt_float(data.frequency)
+        for ant in range(8):
+            h5.write_dataset(
+                afile, schema.akern_dataset(CFG.theta, str(ant), t0, f0), k)
+        pred_aw_pad, peak = ds.aw_predict(
+            afile, paths["vis"], model, config=imaging_config, subgrid=64,
+            fov_pad=0.75)
+        assert np.isfinite(peak) and peak > 0
+        rel = (np.linalg.norm(pred_aw_pad - pred_pad)
+               / np.linalg.norm(pred_pad))
+        assert rel < 0.03, rel
 
     def test_cli_predict_aterms(self, dataset, tmp_path):
         import os

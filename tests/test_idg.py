@@ -343,6 +343,65 @@ class TestIDGFovBound:
             idg_fov_pad_plan(256, 0.0)
 
 
+class TestIDGPredictFovPad:
+    """fov_pad for the PREDICT direction (VERDICT r3 #8): embedding the
+    model in a padded FOV before the taper division bounds the error of
+    predictions from edge sources — round-trip workflows no longer mix a
+    padded forward with an edge-degraded reverse."""
+
+    def _pred(self, rng, fov_pad):
+        from ska_sdp_tpu.models.dataset import _idg_predict_pipeline
+        from ska_sdp_tpu.ops.coords import SPEED_OF_LIGHT
+
+        p, w, _ = _problem(rng, b=200)
+        py, px = N - 7, N // 2 + 3       # r ≈ 0.95: unusable un-padded
+        img = np.zeros((N, N), np.float32)
+        img[py, px] = 1.0
+        lam = int(round(N / THETA))
+        uvw = np.stack(
+            [p[:, 0] * lam, p[:, 1] * lam, w], axis=1).astype(np.float32)
+        f = np.asarray([SPEED_OF_LIGHT], np.float32)
+        pred = np.asarray(_idg_predict_pipeline(
+            img, uvw, f, theta=THETA, lam=lam, subgrid=S,
+            taper_beta=BETA, fov_pad=fov_pad,
+        ))
+        l0 = (px - N // 2) / N
+        m0 = (py - N // 2) / N
+        n0 = 1.0 - np.sqrt(1.0 - (l0 * THETA) ** 2 - (m0 * THETA) ** 2)
+        true = (np.exp(-2j * np.pi * (p[:, 0] * N * l0 + p[:, 1] * N * m0))
+                * np.exp(2j * np.pi * w * n0))
+        return pred, true
+
+    def test_edge_source_prediction_padded(self, rng):
+        # fresh identically-seeded generators: both runs must see the
+        # SAME problem (the fixture generator advances between draws)
+        pred_plain, true = self._pred(np.random.default_rng(42), None)
+        pred_pad, _ = self._pred(np.random.default_rng(42), 0.75)
+        err_plain = np.abs(pred_plain - true).max()
+        err_pad = np.abs(pred_pad - true).max()
+        # the padded model maps the edge source to the accurate interior
+        assert err_pad < 2e-3, err_pad
+        assert err_pad < err_plain / 10, (err_pad, err_plain)
+
+    def test_interior_source_unchanged(self, rng):
+        """fov_pad must not perturb interior predictions (same operator
+        on the shared support)."""
+        from ska_sdp_tpu.models.dataset import _idg_predict_pipeline
+        from ska_sdp_tpu.ops.coords import SPEED_OF_LIGHT
+
+        p, w, _ = _problem(rng, b=100)
+        img = np.zeros((N, N), np.float32)
+        img[150, 170] = 1.0
+        lam = int(round(N / THETA))
+        uvw = np.stack(
+            [p[:, 0] * lam, p[:, 1] * lam, w], axis=1).astype(np.float32)
+        f = np.asarray([SPEED_OF_LIGHT], np.float32)
+        out = [np.asarray(_idg_predict_pipeline(
+            img, uvw, f, theta=THETA, lam=lam, subgrid=S,
+            taper_beta=BETA, fov_pad=fp)) for fp in (None, 0.75)]
+        np.testing.assert_allclose(out[1], out[0], atol=5e-4)
+
+
 class TestIDGDegridPallas:
     """Pallas IDG degridder vs the XLA realization (interpret mode) +
     adjointness through the Pallas pair (VERDICT r2 #4)."""
