@@ -82,6 +82,17 @@ STEPS = 5                 # outer reps (median taken — tunnel spikes)
 CHAIN = 8                 # device steps chained per dispatch
 
 
+def _progress(msg):
+    """Stderr progress stamps — through the remote-TPU tunnel a cold
+    compile can take minutes; silence is indistinguishable from a hang
+    without these."""
+    import sys as _s
+    import time as _t
+
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=_s.stderr,
+          flush=True)
+
+
 def _rate(step, args, n, k=STEPS, chain=CHAIN):
     """Per-step device throughput of a jitted step.
 
@@ -174,6 +185,7 @@ def main() -> None:
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
     args = (bank_re, bank_im, uvw, vis_re, vis_im)
+    _progress("metric 1/10: w-proj headline")
     wproj_rate = _rate(grid_step, args, N_VIS)
 
     def _best_effort(name, fn, *a, **kw):
@@ -202,6 +214,7 @@ def main() -> None:
         v = wproj_degridder(bank_c, grid_c, uvw1 / LAM, wbin)
         return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
 
+    _progress("metric 2/10: degrid")
     degrid_rate = _best_effort(
         "degrid", _rate, degrid_step,
         (bank_re, bank_im, g_re, g_im, uvw), N_VIS, k=3,
@@ -224,6 +237,7 @@ def main() -> None:
                        uvw1 / LAM, wbin, a1, a2, vis1)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
+    _progress("metric 3/10: fused AW")
     aw_rate = _best_effort(
         "aw", _rate, aw_step,
         (bank_re, bank_im, ak_re, ak_im, uvw[:N_VIS_AW], a1, a2,
@@ -243,6 +257,7 @@ def main() -> None:
                         theta=THETA)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
+    _progress("metric 4/10: IDG")
     idg_rate = _best_effort(
         "idg", _rate, idg_step, (uvw, vis_re, vis_im), N_VIS, k=3)
 
@@ -257,6 +272,7 @@ def main() -> None:
                           theta=THETA)
         return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
 
+    _progress("metric 5/10: IDG degrid")
     idg_degrid_rate = _best_effort(
         "idg_degrid", _rate, idg_degrid_step, (g_re, g_im, uvw), N_VIS, k=3)
 
@@ -302,6 +318,7 @@ def main() -> None:
         d = np.linalg.norm((img - ref)[c:-c, c:-c])  # usable-FOV region)
         return float(d / np.linalg.norm(ref[c:-c, c:-c]))
 
+    _progress("metric 6/10: IDG accuracy")
     idg_acc = _best_effort("idg_accuracy", _idg_accuracy)
 
     # 3e. IDG-AW (image-domain A-screens on pair-chunked subgrids): the
@@ -355,6 +372,32 @@ def main() -> None:
         )
         rate = _rate(aw_idg_step, argsT, nT, k=3)
 
+        # ordered single-shot: the records are the file's [ntime, nbl,
+        # nch] raster — a device transpose to pair-major replaces the
+        # 7-operand comparison sort (VERDICT r3 #4, ordered=True prep)
+        def _ordered():
+            @jax.jit
+            def aw_idg_ordered_step(p_j, w_j, a1_j, a2_j, sre, sim, vr,
+                                    vi, salt):
+                def pm(x):
+                    return (x.reshape((ntime, nbl, nchan) + x.shape[1:])
+                            .transpose((1, 2, 0)
+                                       + tuple(range(3, x.ndim + 2)))
+                            .reshape((nT,) + x.shape[1:]))
+
+                guv, nd = idg_aw_gridder(
+                    (n_grid, n_grid), pm(p_j), pm(a1_j), pm(a2_j),
+                    pm(w_j), pm(jax.lax.complex(vr, vi + salt)),
+                    jax.lax.complex(sre, sim),
+                    theta=THETA, max_runs=max_runs, ordered=True,
+                )
+                return (jnp.sum(jnp.abs(jnp.real(guv)))
+                        + jnp.sum(jnp.abs(jnp.imag(guv))) + 0.0 * nd)
+
+            return _rate(aw_idg_ordered_step, argsT, nT, k=3)
+
+        rate_ordered = _best_effort("aw_idg_ordered", _ordered)
+
         # sustained: the run sort amortized across a channel group (the
         # from-records split — channels swap only the vis record rows)
         def _sustained():
@@ -387,9 +430,12 @@ def main() -> None:
                 nT, k=3,
             )
 
-        return rate, _best_effort("aw_idg_sustained", _sustained)
+        return (rate, rate_ordered,
+                _best_effort("aw_idg_sustained", _sustained))
 
-    aw_idg_rate, aw_idg_sus = _best_effort("aw_idg", _idg_aw) or (0.0, 0.0)
+    _progress("metric 7/10: IDG-AW single-shot + sustained")
+    aw_idg_rate, aw_idg_ord, aw_idg_sus = (
+        _best_effort("aw_idg", _idg_aw) or (0.0, 0.0, 0.0))
 
     # 4. full imaging step: scatter + hermitian + centered iFFT
     @jax.jit
@@ -401,6 +447,7 @@ def main() -> None:
         img = jnp.real(ifft_centered(make_grid_hermitian(g)))
         return jnp.sum(jnp.abs(img))
 
+    _progress("metric 8/10: full imaging step")
     full_rate = _best_effort("full", _rate, full_step, args, N_VIS, k=3)
 
     # 5. sustained rates with binning amortized: real pipelines grid many
@@ -436,6 +483,7 @@ def main() -> None:
             )
             return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
 
+        _progress("extra: sustained IDG")
         sus_idg = _rate(sus_idg_step, (i_recs, i_starts), N_VIS, k=3)
     except Exception as e:  # sustained metrics are best-effort extras
         import sys
@@ -480,6 +528,7 @@ def main() -> None:
         run()                                     # compile + warmup
         return max(run(), run())
 
+    _progress("metric 9/10: end-to-end multi-channel driver")
     e2e_mc_rate = _best_effort("e2e_multichannel", _e2e_multichannel)
 
     # 7. >VMEM-grid datapoint (VERDICT r3 #7): 4800^2-class grid through
@@ -501,6 +550,7 @@ def main() -> None:
 
         return _rate(lg_step, args, N_VIS, k=3)
 
+    _progress("metric 10/10: 4800^2 large grid")
     large_grid_rate = _best_effort("large_grid", _large_grid)
 
     print(
@@ -547,6 +597,12 @@ def main() -> None:
                         "value": round(aw_idg_rate, 1),
                         "unit": "vis/s",
                         **_util(aw_idg_rate, "idg"),
+                    },
+                    {
+                        "metric": "IDG-AW ordered single-shot (pair-major transpose replaces the record sort)",
+                        "value": round(aw_idg_ord, 1),
+                        "unit": "vis/s",
+                        **_util(aw_idg_ord, "idg"),
                     },
                     {
                         "metric": "SUSTAINED IDG-AW (run sort amortized across channel group)",

@@ -268,7 +268,7 @@ def _idg_aw_unfit_reason(grid_shape, nant: int, subgrid: int) -> str:
 def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
                    subgrid: int = 64, support: int = 15,
                    taper_beta: float = 12.0, max_runs: int = 4096,
-                   fit_margin: int = 0):
+                   fit_margin: int = 0, ordered: bool = False):
     """IDG-AW dispatch: image-domain antenna screens on pair-chunked
     subgrids (``ops/idg_aw.py`` documents the method + honesty contract).
 
@@ -277,6 +277,13 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
     realization (also the oracle).  Returns (guv, n_dropped) — callers
     must surface ``n_dropped`` (records whose chunk could not cover their
     uv spread; zero for track-like data).
+
+    ``ordered=True``: the caller guarantees a pair-major record stream
+    (e.g. the file's [ntime, nbl] layout transposed), letting the Pallas
+    prep skip its comparison sort (~7 ms/Mvis); always correct, but a
+    poorly-ordered stream fragments into > ``max_runs`` runs whose
+    surplus shows up in ``n_dropped``.  Ignored by the XLA realization
+    (it sorts internally).
     """
     from ..ops.idg_aw import idg_grid_aw
 
@@ -297,7 +304,7 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
             return idg_aw_gridder_pallas(
                 grid_shape, p, a1, a2, w, vis, screens, theta=theta,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
-                max_runs=max_runs, fit_margin=fit_margin,
+                max_runs=max_runs, fit_margin=fit_margin, ordered=ordered,
             )
         _note_fallback("idg_aw_gridder", reason)
     return idg_grid_aw(

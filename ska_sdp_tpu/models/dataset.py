@@ -370,16 +370,22 @@ def _aw_idg_staged(screens, uvw, a1, a2, f, vis, *, theta, lam, subgrid,
 
 @partial(complex_safe_jit,
          static_argnames=("theta", "lam", "subgrid", "taper_beta",
-                          "max_runs", "fov_pad"))
+                          "max_runs", "fov_pad", "layout"))
 def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
                      subgrid=64, taper_beta=12.0, max_runs=4096,
-                     fov_pad=None):
+                     fov_pad=None, layout=None):
     """IDG-AW device program: image-domain A-screens on pair-chunked
     subgrids (``ops/idg_aw.py``) — continuous w, no w-kernel bank.
 
     ``fov_pad`` follows ``_idg_pipeline``'s padded-FOV/crop semantics
     (the A-screens are θ-independent — integer-cell taps sampled at the
     subgrid's own lattice — so padding only rescales the grid).
+
+    ``layout=(ntime, nbl)``: the records are the vis file's time-major
+    [ntime, nbl] raster (host-verified by the caller) — a device-side
+    transpose to pair-major then lets the Pallas prep skip its
+    comparison sort (``ordered=True``, ~7 ms/Mvis; VERDICT r3 #4).
+    Gridding is an order-invariant sum, so the image is unchanged.
 
     Returns (img, img max, n_dropped): ``n_dropped`` is the IDG-AW
     honesty count (in-bounds records whose chunk could not cover their
@@ -396,10 +402,20 @@ def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
     # semantics (ADVICE r3 — the padded grid's finer uv cells would)
     wt = doweight(theta, lam, uvw0, jnp.ones_like(vis))
     uvw1, vis1 = mirror_uvw(uvw0, vis)
+    wvis = wt * vis1
+    if layout is not None:
+        ntime, nbl = layout
+
+        def _pm(x):
+            return (x.reshape((ntime, nbl) + x.shape[1:])
+                    .swapaxes(0, 1)
+                    .reshape((ntime * nbl,) + x.shape[1:]))
+
+        uvw1, a1, a2, wvis = _pm(uvw1), _pm(a1), _pm(a2), _pm(wvis)
     guv, nd = idg_aw_gridder(
-        (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2], wt * vis1,
+        (n_grid, n_grid), uvw1 / lam, a1, a2, uvw1[:, 2], wvis,
         screens, theta=theta_g, subgrid=subgrid, taper_beta=taper_beta,
-        max_runs=max_runs,
+        max_runs=max_runs, ordered=layout is not None,
     )
     img = jnp.real(ifft_centered(make_grid_hermitian(guv)))
     tf = taper_fine(n_grid, subgrid, kaiser_taper(subgrid, taper_beta)
@@ -407,6 +423,33 @@ def _aw_idg_pipeline(screens, uvw, a1, a2, f, vis, *, theta, lam,
     img = img / (tf[:, None] * tf[None, :])
     img = fov_pad_finish(img, n, n_grid, crop_lo)
     return img, jnp.max(img), nd
+
+
+def _detect_time_major_layout(a1, a2, time, n):
+    """Host-side sniff: are ``records[:n]`` an [ntime, nbl] raster (the
+    vis-file layout — same baseline set repeating per time slot)?
+
+    Returns (ntime, nbl) if so, else None.  Used to run the IDG-AW prep
+    in ``ordered`` mode (transpose instead of sort); detection failure
+    just means the sorted path, never a wrong image.
+    """
+    t = np.asarray(time[:n])
+    if n == 0:
+        return None
+    if t[0] == t[-1]:
+        nbl = n
+    else:
+        nbl = int(np.argmax(t != t[0]))
+        if nbl == 0 or n % nbl != 0:
+            return None
+    ntime = n // nbl
+    a1r = np.asarray(a1[:n]).reshape(ntime, nbl)
+    a2r = np.asarray(a2[:n]).reshape(ntime, nbl)
+    tr = t.reshape(ntime, nbl)
+    if not (np.all(a1r == a1r[0]) and np.all(a2r == a2r[0])
+            and np.all(tr == tr[:, :1])):
+        return None
+    return ntime, nbl
 
 
 def aw_gridding(
@@ -485,6 +528,9 @@ def aw_gridding(
                     fov_pad=fov_pad,
                 )
             else:
+                # time-major raster detected => ordered prep (transpose
+                # on device, no comparison sort — VERDICT r3 #4)
+                layout = _detect_time_major_layout(a1, a2, data.time, n)
                 img, mx, nd = _aw_idg_pipeline(
                     screens,
                     np.asarray(data.uvw[:n], prec.np_real),
@@ -492,7 +538,7 @@ def aw_gridding(
                     np.asarray(data.frequency, prec.np_real),
                     np.asarray(data.vis[:n], prec.np_complex),
                     theta=theta, lam=lam, max_runs=max_runs,
-                    fov_pad=fov_pad, subgrid=subgrid,
+                    fov_pad=fov_pad, subgrid=subgrid, layout=layout,
                 )
             img = np.asarray(img)
             mx = float(mx)

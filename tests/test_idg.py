@@ -849,6 +849,77 @@ class TestIDGAWPallas:
         assert d < 2e-5, d
 
 
+class TestIDGAWOrderedPrep:
+    """``ordered=True`` prep (VERDICT r3 #4): a pair-major stream needs no
+    comparison sort — the run CSR only requires same-(pair,tile) records
+    to be contiguous.  Parity vs the sorted path and vs the XLA oracle;
+    plus the honesty net: a scrambled stream overflows into counted
+    drops instead of silently corrupting."""
+
+    def _setup(self, rng):
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        nant = 5
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        # pair-major relayout (stable: preserves time order within pairs)
+        order = np.argsort(a1.astype(np.int64) * nant + a2, kind="stable")
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        return (p[order], w[order], a1[order], a2[order], vis[order],
+                scr, mr)
+
+    def test_ordered_matches_sorted_and_oracle(self, rng):
+        from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
+        from ska_sdp_tpu.ops.idg_aw import idg_grid_aw
+
+        p, w, a1, a2, vis, scr, mr = self._setup(rng)
+        pj = jnp.asarray(p, jnp.float32)
+        wj = jnp.asarray(w, jnp.float32)
+        vj = jnp.asarray(vis, jnp.complex64)
+        a1j, a2j = jnp.asarray(a1), jnp.asarray(a2)
+        g_oracle, nd_o = idg_grid_aw(
+            (N, N), pj, a1j, a2j, wj, vj, scr, theta=THETA, subgrid=SA,
+            max_runs=mr)
+        g_sorted, nd_s = idg_aw_gridder_pallas(
+            (N, N), pj, a1j, a2j, wj, vj, scr, theta=THETA, subgrid=SA,
+            max_runs=mr, interpret=True)
+        g_ordered, nd_u = idg_aw_gridder_pallas(
+            (N, N), pj, a1j, a2j, wj, vj, scr, theta=THETA, subgrid=SA,
+            max_runs=mr, interpret=True, ordered=True)
+        assert int(nd_o) == int(nd_s) == int(nd_u) == 0
+        ref = np.asarray(g_oracle)
+        for g in (np.asarray(g_sorted), np.asarray(g_ordered)):
+            d = np.linalg.norm(g - ref) / np.linalg.norm(ref)
+            assert d < 2e-5, d
+        # ordered and sorted preps drive the SAME kernel: near-bitwise
+        d = (np.linalg.norm(np.asarray(g_ordered) - np.asarray(g_sorted))
+             / np.linalg.norm(ref))
+        assert d < 1e-6, d
+
+    def test_scrambled_stream_overflows_into_counted_drops(self, rng):
+        from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
+
+        p, w, a1, a2, vis, scr, mr = self._setup(rng)
+        perm = rng.permutation(p.shape[0])
+        g, nd = idg_aw_gridder_pallas(
+            (N, N), jnp.asarray(p[perm], jnp.float32),
+            jnp.asarray(a1[perm]), jnp.asarray(a2[perm]),
+            jnp.asarray(w[perm], jnp.float32),
+            jnp.asarray(vis[perm], jnp.complex64), scr, theta=THETA,
+            subgrid=SA, max_runs=mr, interpret=True, ordered=True)
+        # a scrambled stream fragments into >> max_runs runs; the surplus
+        # must be COUNTED, never silently mis-gridded
+        assert int(nd) > 0
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 class TestIDGAWDegrid:
     def test_adjoint_exact(self, rng):
         """<grid_aw(v), G> == <v, degrid_aw(G)> through the IDG-AW pair —
