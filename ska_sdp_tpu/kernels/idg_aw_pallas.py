@@ -172,7 +172,7 @@ def idg_aw_run_records_multi(grid_shape, p, a1, a2, w, vis_re_mc,
                              vis_im_mc, *, subgrid: int = 64,
                              chunk: int = CHUNK, support: int = 15,
                              max_runs: int = 4096, fit_margin: int = 0,
-                             drift_cells: int = 0):
+                             drift_cells: int = 0, ordered: bool = False):
     """Multi-channel (pair, uv-tile) run sorting: bin ONCE at the
     reference channel, update records per channel elementwise.
 
@@ -220,10 +220,16 @@ def idg_aw_run_records_multi(grid_shape, p, a1, a2, w, vis_re_mc,
     for c in range(nch):
         vrows.append(jnp.where(use, vis_re_mc[c], 0.0).astype(f32))
         vrows.append(jnp.where(use, vis_im_mc[c], 0.0).astype(f32))
-    sorted_ = jax.lax.sort(
-        [pkey, tkey, dy, dx, w.astype(f32), cy, cx] + vrows,
-        num_keys=2, is_stable=True,
-    )
+    if ordered:
+        # pair-major stream: runs are already contiguous — no sort (see
+        # idg_aw_run_records; with 2·nch vis rows riding the sort, the
+        # saving scales with the channel count)
+        sorted_ = [pkey, tkey, dy, dx, w.astype(f32), cy, cx] + vrows
+    else:
+        sorted_ = jax.lax.sort(
+            [pkey, tkey, dy, dx, w.astype(f32), cy, cx] + vrows,
+            num_keys=2, is_stable=True,
+        )
     pk_s, tk_s = sorted_[0], sorted_[1]
 
     starts_ext, starts, ends, y0, x0, ia1, ia2, overflow = _run_csr(
