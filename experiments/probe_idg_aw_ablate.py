@@ -55,8 +55,8 @@ from ska_sdp_tpu.ops.idg_aw import aw_screens_host  # noqa: E402
 
 def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
                recs_hbm, sr_ref, si_ref, fre_ref, fim_ref, hr_ref, hi_ref,
-               out_ref, recs_v, a_re, a_im, sems, *, S, theta, theta_x,
-               chunk, trig, mm, runwork, mm_prec):
+               tre_ref, tim_ref, out_ref, recs_v, a_re, a_im, sems, *, S,
+               theta, theta_x, chunk, trig, mm, runwork, mm_prec):
     r = pl.program_id(0)
 
     @pl.when(r == 0)
@@ -114,14 +114,60 @@ def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
 
             two_pi_s = jnp.float32(2.0 * np.pi / S)
             pi_ = jnp.float32(np.pi)
-            ph_y = two_pi_s * cq * dy - pi_ * lq2y * w
-            ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
-            if trig:
+            if trig == "poly":
+                # table + small-range polynomial phase construction:
+                # e^{i 2pi cq dy/S} = T[:, round(dy) mod S] * e^{i 2pi cq
+                # frac/S} (|frac| <= 0.5 => |x| <= pi/2) and the w chirp
+                # phase is < 0.2 rad — both safe for short Taylor series.
+                # The integer-shift table lands via a one-hot MXU matmul
+                # (exact 0/1 left operand; HIGHEST keeps table f32).
+                def sincos_small(x):
+                    x2 = x * x
+                    s = x * (1.0 + x2 * (jnp.float32(-1 / 6) + x2 * (
+                        jnp.float32(1 / 120) + x2 * (
+                            jnp.float32(-1 / 5040)
+                            + x2 * jnp.float32(1 / 362880)))))
+                    c = 1.0 + x2 * (jnp.float32(-0.5) + x2 * (
+                        jnp.float32(1 / 24) + x2 * (
+                            jnp.float32(-1 / 720)
+                            + x2 * jnp.float32(1 / 40320))))
+                    return s, c
+
+                jrow = jax.lax.broadcasted_iota(jnp.int32, (S, chunk), 0)
+                f32 = jnp.float32
+                hp = jax.lax.Precision.HIGHEST
+                dn_nt = (((1,), (0,)), ((), ()))
+
+                def axis_phase(d, lq2):
+                    m = jnp.floor(d + 0.5)
+                    fr = d - m
+                    mi = jnp.mod(m.astype(jnp.int32), S)      # (1, C)
+                    oh = (jrow == mi).astype(f32)             # (S, C)
+                    t_re = jax.lax.dot_general(
+                        tre_ref[:], oh, dn_nt,
+                        preferred_element_type=f32, precision=hp)
+                    t_im = jax.lax.dot_general(
+                        tim_ref[:], oh, dn_nt,
+                        preferred_element_type=f32, precision=hp)
+                    sf, cf = sincos_small(two_pi_s * cq * fr)
+                    sw, cw = sincos_small(-pi_ * lq2 * w)
+                    fr_re = cf * cw - sf * sw
+                    fr_im = sf * cw + cf * sw
+                    return (t_re * fr_re - t_im * fr_im,
+                            t_re * fr_im + t_im * fr_re)
+
+                ey_re, ey_im = axis_phase(dy, lq2y)
+                ex_re, ex_im = axis_phase(dx, lq2x)
+            elif trig:
+                ph_y = two_pi_s * cq * dy - pi_ * lq2y * w
+                ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
                 ey_re = jnp.cos(ph_y)
                 ey_im = jnp.sin(ph_y)
                 ex_re = jnp.cos(ph_x)
                 ex_im = jnp.sin(ph_x)
             else:
+                ph_y = two_pi_s * cq * dy - pi_ * lq2y * w
+                ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
                 ey_re, ey_im = ph_y, ph_y * jnp.float32(0.5)
                 ex_re, ex_im = ph_x, ph_x * jnp.float32(0.5)
 
@@ -206,7 +252,7 @@ def grid_from_records_ab(recs, starts, ends, y0, x0, ia1, ia2, grid_shape,
                          scr_re, scr_im, *, theta, chunk, trig=True,
                          mm="mxu", runwork=True,
                          mm_prec=jax.lax.Precision.HIGHEST, subgrid=64,
-                         taper_beta=12.0):
+                         taper_beta=12.0, interpret=False):
     Ng, Nx = grid_shape
     S = subgrid
     HP, WP2 = _geometry(Ng, Nx, S)
@@ -227,7 +273,7 @@ def grid_from_records_ab(recs, starts, ends, y0, x0, ia1, ia2, grid_shape,
         num_scalar_prefetch=6,
         grid=(int(starts.shape[0]),),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 8, chunk), jnp.float32),
@@ -236,7 +282,7 @@ def grid_from_records_ab(recs, starts, ends, y0, x0, ia1, ia2, grid_shape,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    out_fn = pl.pallas_call(
         functools.partial(_kernel_ab, S=S, theta=theta,
                           theta_x=theta * Nx / Ng, chunk=chunk, trig=trig,
                           mm=mm, runwork=runwork, mm_prec=mm_prec),
@@ -245,16 +291,74 @@ def grid_from_records_ab(recs, starts, ends, y0, x0, ia1, ia2, grid_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
         ),
-    )(starts, ends, y0, x0, ia1, ia2, recs,
-      scr_re, scr_im,
-      jnp.asarray(F.real, jnp.float32), jnp.asarray(F.imag, jnp.float32),
-      jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32))
+        interpret=interpret,
+    )
+    # integer-shift table: T[q, m] = e^{2pi i cq_q m / S}
+    Tm = np.exp(2j * np.pi * np.outer(k, np.arange(S)) / S)
+    out = out_fn(starts, ends, y0, x0, ia1, ia2, recs,
+                 scr_re, scr_im,
+                 jnp.asarray(F.real, jnp.float32),
+                 jnp.asarray(F.imag, jnp.float32),
+                 jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32),
+                 jnp.asarray(Tm.real, jnp.float32),
+                 jnp.asarray(Tm.imag, jnp.float32))
     return out
+
+
+def check_polyphase():
+    """Interpret-mode (CPU) parity: polyphase vs base on a small problem."""
+    jax.config.update("jax_platforms", "cpu")
+    from ska_sdp_tpu.ops.idg_aw import aw_screens_host
+
+    Ns = 256
+    rng = np.random.default_rng(3)
+    b = 4096
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    nbl = len(pairs)
+    ft = np.linspace(0, 1, b // nbl)
+    rows = []
+    for bi, (i, j) in enumerate(pairs):
+        u0 = rng.uniform(-0.3, 0.3, 2)
+        du = rng.uniform(-10 / Ns, 10 / Ns, 2)
+        for t in ft:
+            rows.append((u0[0] + du[0] * t, u0[1] + du[1] * t,
+                         rng.uniform(-200, 200), i, j))
+    arr = np.asarray(rows)
+    n = arr.shape[0]
+    p = np.zeros((n, 3), np.float32)
+    p[:, :2] = arr[:, :2]
+    w = arr[:, 2].astype(np.float32)
+    a1 = arr[:, 3].astype(np.int32)
+    a2 = arr[:, 4].astype(np.int32)
+    vr = rng.standard_normal(n).astype(np.float32)
+    vi = rng.standard_normal(n).astype(np.float32)
+    ak = np.zeros((5, 15, 15), np.complex64)
+    ak[:, 7, 7] = 1.0
+    scr = aw_screens_host(ak, 64)
+    mr = 8 * nbl + n // 128 + 64
+    recs, st, en, y0, x0, i1, i2, nd, _ = idg_aw_run_records(
+        (Ns, Ns), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+        jnp.asarray(w), jnp.asarray(vr), jnp.asarray(vi), max_runs=mr)
+    outs = {}
+    for name, tr in (("base", True), ("poly", "poly")):
+        outs[name] = np.asarray(grid_from_records_ab(
+            recs, st, en, y0, x0, i1, i2, (Ns, Ns),
+            jnp.asarray(scr.real, jnp.float32),
+            jnp.asarray(scr.imag, jnp.float32),
+            theta=0.05, chunk=256, trig=tr, interpret=True))
+    d = (np.linalg.norm(outs["poly"] - outs["base"])
+         / np.linalg.norm(outs["base"]))
+    print(f"polyphase vs base rel err: {d:.3e} (dropped {int(nd)})")
+    assert d < 1e-5, d
 
 
 def main():
     modes = sys.argv[1:] or ["base", "notrig", "nomm", "emptyblk",
-                             "norun", "mmhigh", "chunk512", "chunk1024"]
+                             "norun", "mmhigh", "chunk512", "chunk1024",
+                             "polyphase"]
+    if modes == ["check"]:
+        check_polyphase()
+        return
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(11)
     p, w, a1, a2, vr, vi, nbl, n = track_data(rng)
@@ -274,6 +378,8 @@ def main():
                   mm_prec=jax.lax.Precision.HIGHEST)
         if mode == "notrig":
             kw["trig"] = False
+        elif mode == "polyphase":
+            kw["trig"] = "poly"
         elif mode == "nomm":
             kw["mm"] = "none"
         elif mode == "emptyblk":
