@@ -11,7 +11,14 @@ only the timing is meaningful):
   nomm      accumulation dots replaced by adds — isolates MXU cost
   emptyblk  block loop reads records, skips all math — loop+DMA floor
   norun     per-run screen/sandwich/placement skipped — run-level cost
-  mmhigh    accumulation dots at precision HIGH (3 passes, not 6)
+  mmfast    accumulation dots at precision DEFAULT (one bf16 pass, not
+            6 — Mosaic rejects HIGH)
+  split3    all kernel dots as 3 bf16-rate passes on pre-split hi/lo
+            planes (~1.5e-5 rel — the aw_fused tier)
+  runs8k    max_runs 8192 (vs 24382) — cost of the ~16K EMPTY grid
+            programs the static bound forces
+  chunk128  CHUNK=128 — halves the run-boundary block waste
+  combo     split3 + polyphase + runs8k + chunk128 together
   chunkK    base at CHUNK=K (512, 1024) — bookkeeping amortization
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python \
@@ -51,6 +58,22 @@ from probe_idg_aw_tpu import track_data  # noqa: E402
 from ska_sdp_tpu.kernels.idg_aw_pallas import (  # noqa: E402
     IDG_AW_VMEM_BUDGET, _geometry, idg_aw_run_records)
 from ska_sdp_tpu.ops.idg_aw import aw_screens_host  # noqa: E402
+
+
+def _dg3(a, b, dn):
+    """dot_general as 3 bf16-rate passes on hi/lo split planes."""
+    bf, f32 = jnp.bfloat16, jnp.float32
+    ah = a.astype(bf)
+    al = (a - ah.astype(f32)).astype(bf)
+    bh = b.astype(bf)
+    bl = (b - bh.astype(f32)).astype(bf)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dn, preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
@@ -135,20 +158,37 @@ def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
 
                 jrow = jax.lax.broadcasted_iota(jnp.int32, (S, chunk), 0)
                 f32 = jnp.float32
+                bf = jnp.bfloat16
                 hp = jax.lax.Precision.HIGHEST
                 dn_nt = (((1,), (0,)), ((), ()))
+
+                if mm == "split3":
+                    # one-hot is EXACT in bf16 ⇒ 2 bf16-rate passes on the
+                    # table's hi/lo planes reach ~1e-5 (vs 6 at HIGHEST)
+                    def tdot(t, oh):
+                        th = t.astype(bf)
+                        tl = (t - th.astype(f32)).astype(bf)
+                        ohb = oh.astype(bf)
+
+                        def d(x, y):
+                            return jax.lax.dot_general(
+                                x, y, dn_nt, preferred_element_type=f32,
+                                precision=jax.lax.Precision.DEFAULT)
+
+                        return d(th, ohb) + d(tl, ohb)
+                else:
+                    def tdot(t, oh):
+                        return jax.lax.dot_general(
+                            t, oh, dn_nt, preferred_element_type=f32,
+                            precision=hp)
 
                 def axis_phase(d, lq2):
                     m = jnp.floor(d + 0.5)
                     fr = d - m
                     mi = jnp.mod(m.astype(jnp.int32), S)      # (1, C)
                     oh = (jrow == mi).astype(f32)             # (S, C)
-                    t_re = jax.lax.dot_general(
-                        tre_ref[:], oh, dn_nt,
-                        preferred_element_type=f32, precision=hp)
-                    t_im = jax.lax.dot_general(
-                        tim_ref[:], oh, dn_nt,
-                        preferred_element_type=f32, precision=hp)
+                    t_re = tdot(tre_ref[:], oh)
+                    t_im = tdot(tim_ref[:], oh)
                     sf, cf = sincos_small(two_pi_s * cq * fr)
                     sw, cw = sincos_small(-pi_ * lq2 * w)
                     fr_re = cf * cw - sf * sw
@@ -180,22 +220,14 @@ def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
                 return 0
 
             dn = (((1,), (1,)), ((), ()))
-            f32 = jnp.float32
-            hp = mm_prec
-            a_re[:] += (
-                jax.lax.dot_general(u_re, ex_re, dn,
-                                    preferred_element_type=f32, precision=hp)
-                - jax.lax.dot_general(u_im, ex_im, dn,
-                                      preferred_element_type=f32,
-                                      precision=hp)
-            )
-            a_im[:] += (
-                jax.lax.dot_general(u_re, ex_im, dn,
-                                    preferred_element_type=f32, precision=hp)
-                + jax.lax.dot_general(u_im, ex_re, dn,
-                                      preferred_element_type=f32,
-                                      precision=hp)
-            )
+            if mm == "split3":
+                dgen = functools.partial(_dg3, dn=dn)
+            else:
+                dgen = functools.partial(
+                    jax.lax.dot_general, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32, precision=mm_prec)
+            a_re[:] += dgen(u_re, ex_re) - dgen(u_im, ex_im)
+            a_im[:] += dgen(u_re, ex_im) + dgen(u_im, ex_re)
             return 0
 
         jax.lax.fori_loop(0, nblocks, chunk_body, 0, unroll=False)
@@ -216,26 +248,17 @@ def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
         t_im = a_re[:] * p_im + a_im[:] * p_re
 
         f32 = jnp.float32
-        hp = jax.lax.Precision.HIGHEST
         dn_nt = (((1,), (0,)), ((), ()))
-        b_re = (
-            jax.lax.dot_general(fre_ref[:], t_re, dn_nt,
-                                preferred_element_type=f32, precision=hp)
-            - jax.lax.dot_general(fim_ref[:], t_im, dn_nt,
-                                  preferred_element_type=f32, precision=hp)
-        )
-        b_im = (
-            jax.lax.dot_general(fre_ref[:], t_im, dn_nt,
-                                preferred_element_type=f32, precision=hp)
-            + jax.lax.dot_general(fim_ref[:], t_re, dn_nt,
-                                  preferred_element_type=f32, precision=hp)
-        )
-        patch = (
-            jax.lax.dot_general(b_re, hr_ref[:], dn_nt,
-                                preferred_element_type=f32, precision=hp)
-            + jax.lax.dot_general(b_im, hi_ref[:], dn_nt,
-                                  preferred_element_type=f32, precision=hp)
-        )
+        if mm == "split3":
+            dgr = functools.partial(_dg3, dn=dn_nt)
+        else:
+            dgr = functools.partial(
+                jax.lax.dot_general, dimension_numbers=dn_nt,
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+        b_re = dgr(fre_ref[:], t_re) - dgr(fim_ref[:], t_im)
+        b_im = dgr(fre_ref[:], t_im) + dgr(fim_ref[:], t_re)
+        patch = dgr(b_re, hr_ref[:]) + dgr(b_im, hi_ref[:])
 
         y0 = y0_ref[r]
         x2 = x0_ref[r] * 2
@@ -340,21 +363,23 @@ def check_polyphase():
         (Ns, Ns), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
         jnp.asarray(w), jnp.asarray(vr), jnp.asarray(vi), max_runs=mr)
     outs = {}
-    for name, tr in (("base", True), ("poly", "poly")):
+    for name, tr, mm in (("base", True, "mxu"), ("poly", "poly", "mxu"),
+                         ("combo", "poly", "split3")):
         outs[name] = np.asarray(grid_from_records_ab(
             recs, st, en, y0, x0, i1, i2, (Ns, Ns),
             jnp.asarray(scr.real, jnp.float32),
             jnp.asarray(scr.imag, jnp.float32),
-            theta=0.05, chunk=256, trig=tr, interpret=True))
-    d = (np.linalg.norm(outs["poly"] - outs["base"])
-         / np.linalg.norm(outs["base"]))
-    print(f"polyphase vs base rel err: {d:.3e} (dropped {int(nd)})")
-    assert d < 1e-5, d
+            theta=0.05, chunk=256, trig=tr, mm=mm, interpret=True))
+    for name in ("poly", "combo"):
+        d = (np.linalg.norm(outs[name] - outs["base"])
+             / np.linalg.norm(outs["base"]))
+        print(f"{name} vs base rel err: {d:.3e} (dropped {int(nd)})")
+        assert d < (1e-5 if name == "poly" else 1e-4), (name, d)
 
 
 def main():
     modes = sys.argv[1:] or ["base", "notrig", "nomm", "emptyblk",
-                             "norun", "mmhigh", "chunk512", "chunk1024",
+                             "norun", "mmfast", "chunk512", "chunk1024",
                              "polyphase"]
     if modes == ["check"]:
         check_polyphase()
@@ -374,6 +399,7 @@ def main():
 
     for mode in modes:
         chunk = 256
+        mr = max_runs
         kw = dict(trig=True, mm="mxu", runwork=True,
                   mm_prec=jax.lax.Precision.HIGHEST)
         if mode == "notrig":
@@ -386,21 +412,38 @@ def main():
             kw["mm"] = "empty"
         elif mode == "norun":
             kw["runwork"] = False
-        elif mode == "mmhigh":
-            kw["mm_prec"] = jax.lax.Precision.HIGH
+        elif mode == "mmfast":
+            kw["mm_prec"] = jax.lax.Precision.DEFAULT
+        elif mode == "split3":
+            kw["mm"] = "split3"
+        elif mode == "runs8k":
+            mr = 8192
+        elif mode == "chunk128":
+            chunk = 128
+        elif mode == "combo":
+            kw["mm"] = "split3"
+            kw["trig"] = "poly"
+            mr = 8192
+            chunk = 128
         elif mode.startswith("chunk"):
             chunk = int(mode[5:])
 
         @jax.jit
-        def prep(p_j, w_j, a1_j, a2_j, vr_j, vi_j, _chunk=chunk):
+        def prep(p_j, w_j, a1_j, a2_j, vr_j, vi_j, _chunk=chunk, _mr=mr):
             return idg_aw_run_records(
                 (N, N), p_j, a1_j, a2_j, w_j, vr_j, vi_j,
-                max_runs=max_runs, chunk=_chunk,
+                max_runs=_mr, chunk=_chunk,
             )
 
         recs, st, en, y0, x0, i1, i2, nd, _geo = prep(
             jnp.asarray(p), jnp.asarray(w), jnp.asarray(a1),
             jnp.asarray(a2), jnp.asarray(vr), jnp.asarray(vi))
+        st_h, en_h = np.asarray(st), np.asarray(en)
+        act = en_h > st_h
+        nruns = int(np.sum(act))
+        nbp = int(np.sum(((en_h - 1) // chunk - st_h // chunk + 1)[act]))
+        print(f"  {mode}: runs {nruns} dropped {int(nd)} "
+              f"block-processings {nbp} (min {recs.shape[0]})", flush=True)
 
         @jax.jit
         def sus(recs, st, en, y0, x0, i1, i2, sre, sim, salt,
