@@ -79,7 +79,13 @@ NANT = 64
 N_VIS = 1 << 20           # per timed step (headline / degrid / full step)
 N_VIS_AW = 1 << 19        # AW fused
 STEPS = 5                 # outer reps (median taken — tunnel spikes)
-CHAIN = 8                 # device steps chained per dispatch
+# Device steps chained per dispatch.  Round-4 measurement: the ~27-34 ms
+# tunnel dispatch floor divides by the chain length, so CHAIN=8 still
+# left ~4.2 ms/step of DISPATCH inside every round-3 number (measured: a
+# trivial chained jnp step costs 4.05/1.01/0.52 ms at chain 8/32/64 —
+# pure floor/chain).  At 32 the residual is ~1 ms/step (<10% of the
+# fastest kernels); production pipelines amortize dispatch identically.
+CHAIN = 32
 
 
 def _progress(msg):
@@ -372,29 +378,50 @@ def main() -> None:
         )
         rate = _rate(aw_idg_step, argsT, nT, k=3)
 
-        # ordered single-shot: the records are the file's [ntime, nbl,
-        # nch] raster — a device transpose to pair-major replaces the
-        # 7-operand comparison sort (VERDICT r3 #4, ordered=True prep)
+        # ordered single-shot: a pair-major SINGLE-channel track stream
+        # ([nbl, ntime] — one transpose of the file raster) replaces the
+        # 7-operand comparison sort (VERDICT r3 #4, ordered=True prep).
+        # A multi-CHANNEL interleaved raster must NOT take this path:
+        # pair-major transposing [ntime, nbl, nch] fragments each track
+        # into ~nch·tiles runs (measured 33K runs > max_runs at this
+        # shape — 27% of the records silently overflow-dropped); the
+        # spectral driver bins once via idg_aw_run_records_multi instead.
+        # Drops poison the checksum here so a regression cannot hide.
         def _ordered():
+            ntime1 = nT // nbl                     # 520: same n, 1 chan
+            ft1 = (np.arange(ntime1) / ntime1)[:, None]
+            u1 = u0[None, :, 0] + du[None, :, 0] * ft1       # [ntime1,nbl]
+            v1 = u0[None, :, 1] + du[None, :, 1] * ft1
+            w1 = w0[None, :] + dw[None, :] * ft1
+            n1 = u1.size
+            # pair-major [nbl, ntime1]: each pair's track is contiguous
+            p1 = np.zeros((n1, 3), np.float32)
+            p1[:, 0] = u1.T.ravel()
+            p1[:, 1] = v1.T.ravel()
+            a1o = np.repeat(ii, ntime1).astype(np.int32)
+            a2o = np.repeat(jj, ntime1).astype(np.int32)
+            w1r = w1.T.ravel().astype(np.float32)
+            vr1 = rng.standard_normal(n1).astype(np.float32)
+            vi1 = rng.standard_normal(n1).astype(np.float32)
+
             @jax.jit
             def aw_idg_ordered_step(p_j, w_j, a1_j, a2_j, sre, sim, vr,
                                     vi, salt):
-                def pm(x):
-                    return (x.reshape((ntime, nbl, nchan) + x.shape[1:])
-                            .transpose((1, 2, 0)
-                                       + tuple(range(3, x.ndim + 2)))
-                            .reshape((nT,) + x.shape[1:]))
-
                 guv, nd = idg_aw_gridder(
-                    (n_grid, n_grid), pm(p_j), pm(a1_j), pm(a2_j),
-                    pm(w_j), pm(jax.lax.complex(vr, vi + salt)),
+                    (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                    jax.lax.complex(vr, vi + salt),
                     jax.lax.complex(sre, sim),
                     theta=THETA, max_runs=max_runs, ordered=True,
                 )
                 return (jnp.sum(jnp.abs(jnp.real(guv)))
-                        + jnp.sum(jnp.abs(jnp.imag(guv))) + 0.0 * nd)
+                        + jnp.sum(jnp.abs(jnp.imag(guv)))
+                        + jnp.where(nd > 0, jnp.float32(jnp.nan), 0.0))
 
-            return _rate(aw_idg_ordered_step, argsT, nT, k=3)
+            args1 = (jnp.asarray(p1), jnp.asarray(w1r),
+                     jnp.asarray(a1o), jnp.asarray(a2o),
+                     argsT[4], argsT[5], jnp.asarray(vr1),
+                     jnp.asarray(vi1))
+            return _rate(aw_idg_ordered_step, args1, n1, k=3)
 
         rate_ordered = _best_effort("aw_idg_ordered", _ordered)
 

@@ -51,7 +51,7 @@ except Exception:
 THETA, LAM = 0.008, 300000
 N = int(round(THETA * LAM))
 NANT, NTIME, NCHAN = 64, 65, 8
-CHAIN, STEPS = 8, 3
+CHAIN, STEPS = 32, 3
 
 from probe_idg_aw_tpu import track_data  # noqa: E402
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHAIN = 6
+CHAIN = 24     # round-4: dispatch floor/chain still ~4ms/step at 8 (bench.py)
 
 
 def _time(step, args, n, k=3, chain=CHAIN):

@@ -34,6 +34,7 @@ VMEM: resident padded grid (~53 MB at 2400², S=64) + screens
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -454,7 +455,21 @@ def idg_aw_grid_from_records(recs, starts, ends, y0, x0, ia1, ia2,
     channels sharing uvw/pairs reuse the runs and swap only the vis rows
     (``recs[:, 3:5, :]``) — the same sustained-mode contract as
     ``idg_pallas.idg_grid_from_records``.
+
+    Dispatches to the round-4 streamed (block-major) kernel by default —
+    measured 68.9M vs 45.3M vis/s sustained on v5e at the bench shape
+    (``idg_aw_stream_pallas`` documents the design and its split3
+    default tier); ``SKA_SDP_TPU_IDG_AW_KERNEL=run`` pins this module's
+    run-major kernel (always at HIGHEST precision).
     """
+    if os.environ.get("SKA_SDP_TPU_IDG_AW_KERNEL", "stream") != "run":
+        from .idg_aw_stream_pallas import idg_aw_grid_from_records_stream
+
+        return idg_aw_grid_from_records_stream(
+            recs, starts, ends, y0, x0, ia1, ia2, grid_shape, scr_re,
+            scr_im, theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+            interpret=interpret,
+        )
     N, Nx = grid_shape
     S = subgrid
     HP, WP2 = _geometry(N, Nx, S)

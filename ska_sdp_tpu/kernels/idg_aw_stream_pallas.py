@@ -1,0 +1,359 @@
+"""Pallas TPU kernel: streamed (block-major) IDG-AW gridder.
+
+Round-4 successor to ``idg_aw_pallas``'s run-major kernel, built from the
+hardware ablation (``experiments/probe_idg_aw_ablate.py``, v5e, 1.048M
+track records, 2400², 4870 runs): the run-major walk re-DMAs and
+re-evaluates each 256-record block once per run touching it (8881
+block-processings vs the 4095 minimum), pays 4·(S,C) sin/cos per
+PROCESSING (7.2 ms/Mvis), and runs every accumulation dot at HIGHEST
+(six bf16 passes, 9.0 ms/Mvis).  This kernel inverts the loop — it walks
+the sorted record stream ONCE, block by block, and treats runs as
+segments of the stream:
+
+* ONE grid program streams all blocks linearly, double-buffered
+  HBM→VMEM; every block is transferred exactly once;
+* the phase matrices (4 × (S,C) sin/cos) are computed ONCE per block
+  and shared by every run segment inside the block;
+* per segment, the complex outer-product accumulation is ONE stacked
+  real dot: A = [[u_re, −u_im], [u_im, u_re]] (2S,2C) against
+  B = [ex_re | ex_im] (S,2C) contracted over lanes — the segment's lane
+  range is masked on B's (pre-split) planes, so A and its bf16 hi/lo
+  planes are built once per block;
+* the (2S,S) accumulator persists across blocks (a run spanning a block
+  boundary keeps accumulating); a run finalizes — pair screen, DFT
+  sandwich, resident-grid placement, identical math to
+  ``idg_aw_pallas._kernel`` — inside the block holding its last record;
+* precision tiers (``SKA_SDP_TPU_IDG_AW_PRECISION``): ``split3``
+  (default) runs every kernel dot as 3 bf16-rate passes on hi/lo split
+  planes (measured ~1e-5 relative vs the exact kernel — inside the
+  mode's documented ≤1e-4 envelope); ``exact`` pins HIGHEST (six-pass
+  f32) everywhere.
+
+Reference semantics: same operator as ``ops.idg_aw.idg_grid_aw`` (the
+XLA oracle; reference AW chain ``/root/reference/src/Gridding.hs:283-377``
+rebuilt in the image domain).  Prep is shared with ``idg_aw_pallas``
+(``idg_aw_run_records`` + :func:`block_run_ranges` here).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .idg_aw_pallas import (CHUNK, IDG_AW_VMEM_BUDGET, _geometry,
+                            idg_aw_run_records)
+
+
+def _tier() -> str:
+    """Precision tier, resolved per call (ADVICE r3: not import time)."""
+    t = os.environ.get("SKA_SDP_TPU_IDG_AW_PRECISION", "split3")
+    return t if t in ("split3", "exact") else "split3"
+
+
+def block_run_ranges(starts, ends, n_pad: int, chunk: int):
+    """Per-block run index ranges [rs[b], re[b]) for the streamed kernel.
+
+    Runs are contiguous, ordered record segments (``idg_aw_run_records``),
+    so the runs intersecting block b = records [b·chunk, (b+1)·chunk) are
+    exactly those with ``end > b·chunk`` and ``start < (b+1)·chunk`` —
+    two searchsorteds over the (max_runs)-sized CSR, no per-record work.
+    Empty CSR tail entries (start == end) are pushed past every block
+    edge so both bounds exclude them.
+    """
+    nblk = n_pad // chunk
+    active = ends > starts
+    sentinel = jnp.int32(n_pad + 1)
+    st_x = jnp.where(active, starts, sentinel)
+    en_x = jnp.where(active, ends, sentinel)
+    edges = jnp.arange(nblk, dtype=jnp.int32) * chunk
+    rs = jnp.searchsorted(en_x, edges, side="right").astype(jnp.int32)
+    re = jnp.searchsorted(st_x, edges + chunk, side="left"
+                          ).astype(jnp.int32)
+    return rs, re
+
+
+def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
+            re_ref, recs_hbm, sr_ref, si_ref, f2_ref, hr_ref,
+            hi_ref, out_ref, recs_v, acc, sems, *, S: int, theta: float,
+            theta_x: float, chunk: int, tier: str):
+    C = chunk
+    nblk = recs_hbm.shape[0]
+    f32, bf = jnp.float32, jnp.bfloat16
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    acc[:] = jnp.zeros_like(acc)
+
+    cq = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) - (S // 2)
+          ).astype(f32)
+    lq2y = (cq * (theta / S)) ** 2
+    lq2x = (cq * (theta_x / S)) ** 2
+    two_pi_s = jnp.float32(2.0 * np.pi / S)
+    pi_ = jnp.float32(np.pi)
+    # segment lane mask compares against the record index modulo C in
+    # BOTH halves of the (1, 2C) = [re-lanes | im-lanes] packed axis
+    lane2 = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 2 * C), 1), jnp.int32(C))
+
+    dn = (((1,), (1,)), ((), ()))                  # contract packed lanes
+    dn_nt = (((1,), (0,)), ((), ()))
+
+    if tier == "split3":
+        def dgr(a, b):
+            """Run-finalize dot: 3 bf16-rate passes on hi/lo planes."""
+            ah = a.astype(bf)
+            al = (a - ah.astype(f32)).astype(bf)
+            bh = b.astype(bf)
+            bl = (b - bh.astype(f32)).astype(bf)
+
+            def d(x, y):
+                return jax.lax.dot_general(
+                    x, y, dn_nt, preferred_element_type=f32,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+    else:
+        def dgr(a, b):
+            return jax.lax.dot_general(
+                a, b, dn_nt, preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            recs_hbm.at[c], recs_v.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+
+    def finalize(r):
+        """Pair screen · sandwich · placement — ``idg_aw_pallas._kernel``
+        run epilogue on the stacked accumulator.  The first sandwich
+        factor is the pre-stacked real block form F2 = [[Fre,−Fim],
+        [Fim,Fre]], so the complex product is ONE logical dot on the
+        stacked [t_re; t_im] operand (3 logical dots per finalize
+        instead of 6 — dot invocations are latency-bound at these
+        shapes, the round-4 ablation's dominant finalize cost)."""
+        a_re = acc[0:S, :]
+        a_im = acc[S:2 * S, :]
+        nant = sr_ref.shape[0]
+        i1 = jnp.minimum(a1_ref[r], nant - 1)
+        i2 = jnp.minimum(a2_ref[r], nant - 1)
+        r1, im1 = sr_ref[i1], si_ref[i1]
+        r2, im2 = sr_ref[i2], si_ref[i2]
+        p_re = r1 * r2 - im1 * im2
+        p_im = -(r1 * im2 + im1 * r2)              # conjugated
+        t2 = jnp.concatenate(
+            [a_re * p_re - a_im * p_im,
+             a_re * p_im + a_im * p_re], axis=0)   # (2S, S)
+
+        b2 = dgr(f2_ref[:], t2)                    # (2S, S) = [b_re;b_im]
+        patch = (dgr(b2[0:S, :], hr_ref[:])
+                 + dgr(b2[S:2 * S, :], hi_ref[:]))  # (S, 2S)
+
+        y0 = y0_ref[r]
+        x2 = x0_ref[r] * 2
+        rr = jax.lax.rem(y0, jnp.int32(8))
+        rem = jax.lax.rem(x2, jnp.int32(128))
+        y0a = pl.multiple_of(y0 - rr, 8)
+        x2a = pl.multiple_of(x2 - rem, 128)
+        patch = jnp.pad(patch, ((0, 8), (0, 128)))
+        patch = pltpu.roll(pltpu.roll(patch, rr, 0), rem, 1)
+        out_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)] += patch
+
+    def block_body(b, _):
+        slot = jax.lax.rem(b, jnp.asarray(2, b.dtype))
+
+        @pl.when(b + 1 < nblk)
+        def _():
+            dma(1 - slot, b + 1).start()
+
+        dma(slot, b).wait()
+        r0 = rs_ref[b]
+        r1 = re_ref[b]
+
+        @pl.when(r1 > r0)
+        def _():
+            dy = recs_v[slot, 0:1, :]
+            dx = recs_v[slot, 1:2, :]
+            w = recs_v[slot, 2:3, :]
+            vr = recs_v[slot, 3:4, :]
+            vi = recs_v[slot, 4:5, :]
+
+            ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, C)
+            ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
+            ey_re = jnp.cos(ph_y)
+            ey_im = jnp.sin(ph_y)
+            ex_re = jnp.cos(ph_x)
+            ex_im = jnp.sin(ph_x)
+
+            u_re = ey_re * vr - ey_im * vi
+            u_im = ey_re * vi + ey_im * vr
+
+            # stacked complex operands, built ONCE per block: the four
+            # real dots of the complex outer-product sum collapse into
+            # one (2S,2C)×(S,2C) lane contraction
+            A = jnp.concatenate(
+                [jnp.concatenate([u_re, -u_im], axis=1),
+                 jnp.concatenate([u_im, u_re], axis=1)], axis=0)
+            B = jnp.concatenate([ex_re, ex_im], axis=1)    # (S, 2C)
+
+            if tier == "split3":
+                Ah = A.astype(bf)
+                Al = (A - Ah.astype(f32)).astype(bf)
+                Bh = B.astype(bf)
+                Bl = (B - Bh.astype(f32)).astype(bf)
+
+                def seg_dot(lo, hi):
+                    m = ((lane2 >= lo) & (lane2 < hi)).astype(bf)
+                    bhm = Bh * m
+                    blm = Bl * m
+
+                    def d(x, y):
+                        return jax.lax.dot_general(
+                            x, y, dn, preferred_element_type=f32,
+                            precision=jax.lax.Precision.DEFAULT)
+
+                    return d(Ah, bhm) + d(Ah, blm) + d(Al, bhm)
+            else:
+                def seg_dot(lo, hi):
+                    m = ((lane2 >= lo) & (lane2 < hi)).astype(f32)
+                    return jax.lax.dot_general(
+                        A, B * m, dn, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+            def seg_body(k, _):
+                r = r0 + k
+                lo = jnp.maximum(starts_ref[r] - b * C, 0)
+                hi = jnp.minimum(ends_ref[r] - b * C, C)
+                acc[:] += seg_dot(lo, hi)
+
+                @pl.when(ends_ref[r] <= (b + 1) * C)
+                def _():
+                    finalize(r)
+                    acc[:] = jnp.zeros_like(acc)
+
+                return 0
+
+            jax.lax.fori_loop(0, r1 - r0, seg_body, 0, unroll=False)
+
+        return 0
+
+    jax.lax.fori_loop(0, nblk, block_body, 0, unroll=False)
+
+
+def idg_aw_grid_from_records_stream(recs, starts, ends, y0, x0, ia1, ia2,
+                                    grid_shape, scr_re, scr_im, *,
+                                    theta: float, subgrid: int = 64,
+                                    taper_beta: float = 12.0,
+                                    interpret: bool = False):
+    """Streamed IDG-AW gridding from a pre-sorted run-record stream
+    (same contract as ``idg_aw_pallas.idg_aw_grid_from_records`` — the
+    sustained multi-channel path swaps ``recs[:, 3:5, :]`` and reuses
+    everything else); returns (grid_re, grid_im)."""
+    N, Nx = grid_shape
+    S = subgrid
+    chunk = recs.shape[2]
+    HP, WP2 = _geometry(N, Nx, S)
+    PADM = S
+    tier = _tier()
+
+    k = np.arange(S, dtype=np.float64) - S // 2
+    F = np.exp(-2j * np.pi * np.outer(k, k) / S) / S
+    if taper_beta > 0:
+        x_ = k / (S / 2)
+        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
+        F = F * (t1 / np.i0(taper_beta))[None, :]
+    Hr = np.zeros((S, 2 * S))
+    Hi = np.zeros((S, 2 * S))
+    Hr[:, 0::2] = F.real.T
+    Hr[:, 1::2] = F.imag.T
+    Hi[:, 0::2] = -F.imag.T
+    Hi[:, 1::2] = F.real.T
+    F2 = np.block([[F.real, -F.imag], [F.imag, F.real]])   # (2S, 2S)
+
+    n_pad = recs.shape[0] * chunk
+    rs, re = block_run_ranges(starts, ends, n_pad, chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # recs [nblk,8,C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # scr re
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # scr im
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # F2 stacked
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # H re
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # H im
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, chunk), jnp.float32),       # double-buffered
+            pltpu.VMEM((2 * S, S), jnp.float32),          # stacked acc
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, S=S, theta=theta,
+                          theta_x=theta * Nx / N, chunk=chunk, tier=tier),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((HP, WP2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(starts, ends, y0, x0, ia1, ia2, rs, re, recs,
+      scr_re.astype(jnp.float32), scr_im.astype(jnp.float32),
+      jnp.asarray(F2, jnp.float32),
+      jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32))
+
+    g = out[PADM:PADM + N, 2 * PADM:2 * PADM + 2 * Nx]
+    return g[:, 0::2], g[:, 1::2]
+
+
+def idg_aw_grid_stream(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
+                       scr_im, *, theta: float, subgrid: int = 64,
+                       support: int = 15, taper_beta: float = 12.0,
+                       max_runs: int = 4096, fit_margin: int = 0,
+                       chunk: int = CHUNK, interpret: bool = False,
+                       ordered: bool = False):
+    """Streamed IDG-AW gridding end-to-end (prep + kernel); returns
+    (grid_re, grid_im, n_dropped).  Same operator/contract as
+    ``idg_aw_pallas.idg_aw_grid_pallas``."""
+    recs, starts, ends, y0, x0, ia1, ia2, n_dropped, _ = \
+        idg_aw_run_records(
+            grid_shape, p, a1, a2, w, vis_re, vis_im, subgrid=subgrid,
+            support=support, max_runs=max_runs, fit_margin=fit_margin,
+            chunk=chunk, ordered=ordered,
+        )
+    g_re, g_im = idg_aw_grid_from_records_stream(
+        recs, starts, ends, y0, x0, ia1, ia2, grid_shape, scr_re, scr_im,
+        theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+        interpret=interpret,
+    )
+    return g_re, g_im, n_dropped
+
+
+def idg_aw_gridder_stream(grid_shape, p, a1, a2, w, vis, screens, *,
+                          theta: float, subgrid: int = 64,
+                          support: int = 15, taper_beta: float = 12.0,
+                          max_runs: int = 4096, fit_margin: int = 0,
+                          chunk: int = CHUNK, interpret: bool = False,
+                          ordered: bool = False):
+    """Complex wrapper matching ``ops.idg_aw.idg_grid_aw``'s signature;
+    returns (guv, n_dropped)."""
+    g_re, g_im, nd = idg_aw_grid_stream(
+        grid_shape, p, a1, a2, w,
+        jnp.real(vis).astype(jnp.float32),
+        jnp.imag(vis).astype(jnp.float32),
+        jnp.real(screens).astype(jnp.float32),
+        jnp.imag(screens).astype(jnp.float32),
+        theta=theta, subgrid=subgrid, support=support,
+        taper_beta=taper_beta, max_runs=max_runs, fit_margin=fit_margin,
+        chunk=chunk, interpret=interpret, ordered=ordered,
+    )
+    return jax.lax.complex(g_re, g_im), nd

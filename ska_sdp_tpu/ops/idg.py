@@ -84,10 +84,11 @@ def taper_fine(N: int, S: int, taper_1d):
     interpolation of the coarse S-point taper onto N points (zero-padded
     centered DFT round-trip — exactly the function the subgrid pipeline
     multiplied in)."""
-    t = jnp.asarray(taper_1d, jnp.complex128)
+    cdt = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    t = jnp.asarray(taper_1d, cdt)
     spec = jnp.fft.fftshift(jnp.fft.fft(jnp.fft.ifftshift(t)))
     lo = N // 2 - S // 2
-    padded = jnp.zeros((N,), jnp.complex128).at[lo:lo + S].set(spec)
+    padded = jnp.zeros((N,), cdt).at[lo:lo + S].set(spec)
     fine = jnp.fft.fftshift(jnp.fft.ifft(jnp.fft.ifftshift(padded)))
     return jnp.real(fine) * (N / S)
 

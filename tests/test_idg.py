@@ -898,10 +898,13 @@ class TestIDGAWOrderedPrep:
         for g in (np.asarray(g_sorted), np.asarray(g_ordered)):
             d = np.linalg.norm(g - ref) / np.linalg.norm(ref)
             assert d < 2e-5, d
-        # ordered and sorted preps drive the SAME kernel: near-bitwise
+        # ordered and sorted preps drive the SAME kernel; under the
+        # round-4 streamed split3 default the record order inside runs
+        # differs, so the bf16 hi/lo splits round differently — bound by
+        # the tier's own error, not bitwise (it was <1e-6 at HIGHEST)
         d = (np.linalg.norm(np.asarray(g_ordered) - np.asarray(g_sorted))
              / np.linalg.norm(ref))
-        assert d < 1e-6, d
+        assert d < 2e-5, d
 
     def test_scrambled_stream_overflows_into_counted_drops(self, rng):
         from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
@@ -1155,3 +1158,92 @@ class TestIDGAWFovPad:
         # vs real part of truth
         d = np.linalg.norm(img - truth.real) / np.linalg.norm(truth.real)
         assert d < 2e-3, d
+
+
+class TestIDGAWStream:
+    """Round-4 streamed (block-major) IDG-AW kernel
+    (``kernels/idg_aw_stream_pallas``): the block stream is walked once,
+    phases are shared across the runs inside a block, run accumulators
+    persist across block boundaries, and the split3 tier runs every dot
+    as 3 bf16-rate passes (measured ~7e-6 vs exact)."""
+
+    def _problem(self, rng, nant=5, ntime=64):
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=nant,
+                                                ntime=ntime)
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        return (jnp.asarray(p, jnp.float32), jnp.asarray(w, jnp.float32),
+                jnp.asarray(a1), jnp.asarray(a2),
+                jnp.asarray(vis, jnp.complex64), scr, mr)
+
+    def test_stream_matches_run_major_both_tiers(self, rng, monkeypatch):
+        """Streamed kernel vs the run-major kernel on runs that span
+        block boundaries (ntime=64 < CHUNK=256 ⇒ several runs per block,
+        some crossing)."""
+        from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            idg_aw_gridder_stream)
+
+        p, w, a1, a2, vis, scr, mr = self._problem(rng)
+        monkeypatch.setenv("SKA_SDP_TPU_IDG_AW_KERNEL", "run")
+        g_run, nd_run = idg_aw_gridder_pallas(
+            (N, N), p, a1, a2, w, vis, scr, theta=THETA, subgrid=SA,
+            max_runs=mr, interpret=True)
+        ref = np.asarray(g_run)
+        for tier, tol in (("exact", 2e-6), ("split3", 5e-5)):
+            monkeypatch.setenv("SKA_SDP_TPU_IDG_AW_PRECISION", tier)
+            g_st, nd_st = idg_aw_gridder_stream(
+                (N, N), p, a1, a2, w, vis, scr, theta=THETA, subgrid=SA,
+                max_runs=mr, interpret=True)
+            assert int(nd_run) == int(nd_st) == 0
+            d = np.linalg.norm(np.asarray(g_st) - ref) / np.linalg.norm(ref)
+            assert d < tol, (tier, d)
+
+    def test_from_records_dispatch_default_is_stream(self, rng,
+                                                     monkeypatch):
+        """``idg_aw_grid_from_records`` (the sustained/spectral contract)
+        delegates to the streamed kernel unless pinned to ``run`` — both
+        agree on the same prepped records."""
+        from ska_sdp_tpu.kernels.idg_aw_pallas import (
+            idg_aw_grid_from_records, idg_aw_run_records)
+
+        p, w, a1, a2, vis, scr, mr = self._problem(rng, nant=4, ntime=48)
+        recs, st, en, y0, x0, i1, i2, nd, _ = idg_aw_run_records(
+            (N, N), p, a1, a2, w, jnp.real(vis), jnp.imag(vis),
+            max_runs=mr)
+        assert int(nd) == 0
+        sre = jnp.real(scr).astype(jnp.float32)
+        sim = jnp.imag(scr).astype(jnp.float32)
+        outs = {}
+        for impl in ("run", "stream"):
+            monkeypatch.setenv("SKA_SDP_TPU_IDG_AW_KERNEL", impl)
+            gr, gi = idg_aw_grid_from_records(
+                recs, st, en, y0, x0, i1, i2, (N, N), sre, sim,
+                theta=THETA, subgrid=SA, interpret=True)
+            outs[impl] = np.dstack([np.asarray(gr), np.asarray(gi)])
+        d = (np.linalg.norm(outs["stream"] - outs["run"])
+             / np.linalg.norm(outs["run"]))
+        assert d < 5e-5, d
+
+    def test_block_run_ranges(self):
+        """Hand-built CSR: run segment boundaries map to exactly the
+        blocks they intersect; empty CSR tail entries never appear."""
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            block_run_ranges)
+
+        # blocks of 4 over 16 slots; runs [0,3) [3,4) [4,9) [9,16); two
+        # empty tail entries
+        starts = jnp.asarray([0, 3, 4, 9, 16, 16], jnp.int32)
+        ends = jnp.asarray([3, 4, 9, 16, 16, 16], jnp.int32)
+        rs, re = block_run_ranges(starts, ends, 16, 4)
+        assert rs.tolist() == [0, 2, 2, 3]
+        assert re.tolist() == [2, 3, 4, 4]
