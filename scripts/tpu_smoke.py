@@ -9,13 +9,12 @@ regardless of the program, so K data-dependent salted steps run per
 dispatch and the per-step device time is reported.
 
 Run: PYTHONPATH=. python scripts/tpu_smoke.py   (on the TPU machine)
-Healthy round-3 signals (v5e): wproj ~30M, degrid ~27M, AW ~7M (split3
-tier), IDG ~30M, IDG degrid ~28M vis/s; parity ≤ 2e-4 everywhere.
-
-The IDG-AW kernel (late round 3: 22M single-shot / 44M sustained) is NOT
-in this smoke — its 2400² Mosaic compile takes ~17 min cold through the
-tunnel; hardware verification is `experiments/probe_idg_aw_bisect.py`
-(kernel + parity stages, small grid) and the bench's aw_idg metrics.
+Healthy round-4 signals (v5e, chain=24): wproj ~35M, degrid ~30M, AW ~7M
+(split3 tier), IDG ~36M, IDG degrid ~35M, IDG-AW (streamed, sorted
+single-shot) ~50M vis/s; parity ≤ 2e-4 everywhere.  The IDG-AW 2400²
+Mosaic compile measures ~40-100 s cold on the current stack (the
+round-3 "~17 min" lore no longer reproduces — probe_idg_aw_compile.py
+bisects it if it ever comes back).
 """
 
 from __future__ import annotations
@@ -206,6 +205,93 @@ def main() -> int:
 
     rate = _time(sid, (gre, gim, p, wvb), N)
     print(f"IDG degrid:                {rate/1e6:.2f} M vis/s", flush=True)
+
+    # --- IDG-AW (streamed kernel; round-4 flagship) ---------------------
+    # parity on track-like pairs (small grid), then the bench-shape rate;
+    # the 2400^2 Mosaic compile measures ~40-100 s cold (round 4 — the
+    # round-3 ~17 min lore no longer reproduces on the current stack)
+    from ska_sdp_tpu.kernels.idg_aw_pallas import idg_aw_gridder_pallas
+    from ska_sdp_tpu.ops.idg_aw import aw_screens_host, idg_grid_aw
+
+    nsa = 4096
+    nbl_s = 6
+    prs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    bl = rng.integers(0, nbl_s, nsa)
+    u0s = rng.uniform(-0.3, 0.3, (nbl_s, 2))
+    pa = np.zeros((nsa, 3), np.float32)
+    pa[:, 0] = u0s[bl, 0] + rng.uniform(-6 / hs, 6 / hs, nsa)
+    pa[:, 1] = u0s[bl, 1] + rng.uniform(-6 / hs, 6 / hs, nsa)
+    wa = rng.uniform(-200, 200, nsa).astype(np.float32)
+    a1s = np.asarray([prs[i][0] for i in bl], np.int32)
+    a2s = np.asarray([prs[i][1] for i in bl], np.int32)
+    aks = np.zeros((4, S, S), np.complex64)
+    aks[:, S // 2, S // 2] = 1.0
+    aks[:, 6:9, 6:9] += 0.1 * (
+        rng.standard_normal((4, 3, 3))
+        + 1j * rng.standard_normal((4, 3, 3))).astype(np.complex64)
+    scr_s = aw_screens_host(aks, 64).astype(np.complex64)
+    mr_s = 8 * nbl_s + nsa // 128 + 64
+    visa = jnp.asarray((rng.standard_normal(nsa)
+                        + 1j * rng.standard_normal(nsa)
+                        ).astype(np.complex64))
+
+    @jax.jit
+    def parity_aw_idg(p, a1, a2, w, vis, sre, sim):
+        got, nd = idg_aw_gridder_pallas(
+            (hs, hs), p, a1, a2, w, vis, jax.lax.complex(sre, sim),
+            theta=0.05, max_runs=mr_s)
+        want, nd_w = idg_grid_aw(
+            (hs, hs), p, a1, a2, w, vis, jax.lax.complex(sre, sim),
+            theta=0.05, max_runs=mr_s)
+        e = jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-30)
+        return e, nd, nd_w
+
+    eaw, nd_g, nd_w = parity_aw_idg(
+        jnp.asarray(pa), jnp.asarray(a1s), jnp.asarray(a2s),
+        jnp.asarray(wa), visa,
+        jnp.asarray(scr_s.real.astype(np.float32)),
+        jnp.asarray(scr_s.imag.astype(np.float32)))
+    good = float(eaw) < 2e-4 and int(nd_g) == int(nd_w)
+    ok &= good
+    print(f"{'PASS' if good else 'FAIL'} IDG-AW stream parity: rel err "
+          f"{float(eaw):.2e} (drops {int(nd_g)}/{int(nd_w)})", flush=True)
+
+    ii64, jj64 = np.triu_indices(NANT, k=1)
+    nbl64 = ii64.shape[0]
+    ntime_aw = N // nbl64
+    naw = nbl64 * ntime_aw
+    ft = (np.arange(ntime_aw) / ntime_aw)[:, None]
+    u0b = rng.uniform(-0.40, 0.40, (nbl64, 2))
+    dub = rng.uniform(-30.0 / NG, 30.0 / NG, (nbl64, 2))
+    ub = u0b[None, :, 0] + dub[None, :, 0] * ft
+    vb = u0b[None, :, 1] + dub[None, :, 1] * ft
+    paw = np.zeros((naw, 3), np.float32)
+    paw[:, 0] = ub.ravel()
+    paw[:, 1] = vb.ravel()
+    waw = rng.uniform(-3800, 3800, naw).astype(np.float32)
+    a1b = np.broadcast_to(ii64[None, :], ub.shape).ravel().astype(np.int32)
+    a2b = np.broadcast_to(jj64[None, :], ub.shape).ravel().astype(np.int32)
+    akb = np.zeros((NANT, S, S), np.complex64)
+    akb[:, S // 2, S // 2] = 1.0
+    scr_b = aw_screens_host(akb, 64).astype(np.complex64)
+    mr_b = 8 * nbl64 + naw // 128 + 64
+
+    @jax.jit
+    def saw(p, a1, a2, w, vr, vi, sre, sim, salt):
+        guv, nd = idg_aw_gridder_pallas(
+            (NG, NG), p, a1, a2, w, jax.lax.complex(vr, vi + salt),
+            jax.lax.complex(sre, sim), theta=THETA, max_runs=mr_b)
+        return (jnp.sum(jnp.abs(jnp.real(guv)))
+                + jnp.sum(jnp.abs(jnp.imag(guv))) + 0.0 * nd)
+
+    rate = _time(
+        saw,
+        (jnp.asarray(paw), jnp.asarray(a1b), jnp.asarray(a2b),
+         jnp.asarray(waw), vr[:naw], vi[:naw],
+         jnp.asarray(scr_b.real.astype(np.float32)),
+         jnp.asarray(scr_b.imag.astype(np.float32))),
+        naw)
+    print(f"IDG-AW (streamed):         {rate/1e6:.2f} M vis/s", flush=True)
 
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1

@@ -18,10 +18,16 @@ are planned host-side from the actual uv extent (:func:`plan_channel_groups`);
 wideband data simply gets more groups, each re-binned at its own center
 frequency.
 
-Weighting is per channel (uniform weighting on the channel's OWN scaled
-uv histogram) — each channel's image is bit-comparable to a
-single-channel run of the same pipeline at that frequency (the parity
-tests in ``tests/test_multichannel.py`` assert exactly that).
+Weighting: uniform weighting defaults to the GROUP-combined sample
+density (one histogram at the group's reference channel, shared by its
+members — the CASA/WSClean convention for multi-channel selections, and
+~8× cheaper on device than per-channel histograms, which measured as
+the single largest device cost of the whole spectral pipeline).
+``SKA_SDP_TPU_EXACT_WEIGHTS=1`` selects per-channel histograms on each
+channel's own scaled cells instead, making every channel's image
+bit-comparable to a single-channel run of the same pipeline at that
+frequency (the parity tests in ``tests/test_multichannel.py`` pin this
+mode; see :func:`_weights_multi`).
 
 Outputs: the per-channel dirty-image cube [nch, n, n] plus the channel
 mean (the continuum image, written to ``/img`` for reference-layout
@@ -31,6 +37,7 @@ compatibility; the cube goes to ``/img_cube`` — ``io/schema.py``).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -100,56 +107,96 @@ def uv_extent_cells(uvw, f_top: float, lam: float, n_grid: int) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _weights_multi(theta, lam, uvw0, ratios, n_live):
-    """Per-channel uniform weights [g, n]: channel c's histogram on its
-    OWN scaled uv cells (parity with the single-channel pipelines)."""
+def _weights_multi(theta, lam, uvw0, ratios, n_live, exact: bool = False):
+    """Per-channel uniform weights [g, n].
+
+    Default: ONE sample-density histogram at the group's REFERENCE
+    channel, shared by every channel of the group — the group planner
+    already bounds each channel's uv-cell drift from f_ref, so the
+    density estimate matches to the same tolerance.  Measured on v5e
+    (8 channels × 1.048M records): the per-channel vmap'd scatter
+    histograms were 207 ms of the spectral pipeline's 267 ms device
+    time — by far its largest cost; the shared histogram is ~25 ms.
+    ``exact=True`` (driver env ``SKA_SDP_TPU_EXACT_WEIGHTS=1``)
+    restores per-channel histograms on each channel's own scaled cells
+    (bit-parity with running the single-channel pipeline per channel).
+    """
     ones = jnp.ones((uvw0.shape[0],), uvw0.dtype)
-
-    def one(r):
-        return jnp.real(doweight(theta, lam, uvw0 * r, ones))
-
     del n_live
-    return jax.vmap(one)(ratios)
+    if exact:
+        def one(r):
+            return jnp.real(doweight(theta, lam, uvw0 * r, ones))
+
+        return jax.vmap(one)(ratios)
+    w = jnp.real(doweight(theta, lam, uvw0, ones))
+    return jnp.broadcast_to(w[None, :], (ratios.shape[0],
+                                         uvw0.shape[0]))
 
 
 @partial(complex_safe_jit,
          static_argnames=("theta", "lam", "g", "subgrid", "taper_beta",
-                          "fov_pad", "use_pallas"))
-def _idg_multi_pipeline(uvw, f_ref, ratios, vis_mc, *, theta, lam, g,
-                        subgrid=64, taper_beta=12.0, fov_pad=None,
-                        use_pallas=True):
+                          "fov_pad", "use_pallas", "exact_weights",
+                          "drift_cells"))
+def _idg_multi_pipeline(uvw, f_ref, ratios, vis_re_mc, vis_im_mc, *,
+                        theta, lam, g, subgrid=64, taper_beta=12.0,
+                        fov_pad=None, use_pallas=True,
+                        exact_weights=False, drift_cells=0):
     """One channel GROUP through plain IDG: bin once, per-channel
     elementwise updates, per-channel image.  Returns (cube [g, n, n],
-    per-channel masked-drop counts [g])."""
+    per-channel masked-drop counts [g]).
+
+    The vis planes arrive as REAL re/im arrays so the driver can stage
+    them onto the device explicitly (axon cannot transfer complex; and
+    the driver times the h2d under its own phase — see
+    ``idg_gridding_multi``)."""
     from ..ops.idg import fov_pad_geometry, kaiser_taper, taper_fine
 
+    vis_mc = jax.lax.complex(vis_re_mc, vis_im_mc)
     n_t, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
     uvw0 = uvw_lambda(f_ref, uvw)                  # reference wavelengths
-    wts = _weights_multi(theta, lam, uvw0, ratios, vis_mc.shape[1])
+    wts = _weights_multi(theta, lam, uvw0, ratios,
+                         vis_mc.shape[1], exact=exact_weights)
     uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
     neg = uvw0[:, 1] < 0
     vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
         * wts.astype(vis_mc.dtype)
 
     if use_pallas:
-        from ..kernels.idg_pallas import (idg_bin_records_multi,
-                                          idg_grid_from_records,
-                                          idg_records_for_channel)
+        # Plain IDG through the STREAMED run-walking machinery with UNIT
+        # screens and zero pair ids (round 4): with every record keyed
+        # (pair=0, tile), runs are exactly the occupied uv tiles — fewer
+        # and longer than IDG-AW's per-pair runs — and the block-major
+        # streamed kernel (measured ~2x the fixed-tile kernel's
+        # sustained rate) does the gridding.  conj(1·1) = 1, so the
+        # operator is plain exact continuous-w IDG.
+        from ..kernels.idg_aw_pallas import (idg_aw_grid_from_records,
+                                             idg_aw_records_for_channel,
+                                             idg_aw_run_records_multi)
 
-        base, vis_s, starts = idg_bin_records_multi(
-            (n_grid, n_grid), uvw1 / lam, uvw1[:, 2],
-            jnp.real(vis1), jnp.imag(vis1), subgrid=subgrid,
-        )
+        s_sup = 15
+        margin_full = subgrid // 2 - s_sup // 2 - 12
+        tc = max(2 * (margin_full - drift_cells) - 2, 8)
+        tile_bound = ((n_grid + 2 * subgrid) // tc + 2) ** 2
+        max_runs = min(tile_bound + 64, 24576)
+        zer = jnp.zeros((uvw1.shape[0],), jnp.int32)
+        (base, vis_s, st, en, y0, x0, i1, i2, nd0, _hw) =             idg_aw_run_records_multi(
+                (n_grid, n_grid), uvw1 / lam, zer, zer, uvw1[:, 2],
+                jnp.real(vis1).astype(jnp.float32),
+                jnp.imag(vis1).astype(jnp.float32), subgrid=subgrid,
+                max_runs=max_runs, drift_cells=drift_cells,
+            )
+        sre = jnp.ones((1, subgrid, subgrid), jnp.float32)
+        sim = jnp.zeros((1, subgrid, subgrid), jnp.float32)
 
         def body(_, rv):
             r, vc = rv
-            recs, nm = idg_records_for_channel(base, vc, r,
-                                               subgrid=subgrid)
-            gr, gi = idg_grid_from_records(
-                recs, starts, (n_grid, n_grid), theta=theta_g,
-                subgrid=subgrid, taper_beta=taper_beta,
+            recs, nm = idg_aw_records_for_channel(base, vc, r,
+                                                  subgrid=subgrid)
+            gr, gi = idg_aw_grid_from_records(
+                recs, st, en, y0, x0, i1, i2, (n_grid, n_grid), sre, sim,
+                theta=theta_g, subgrid=subgrid, taper_beta=taper_beta,
             )
-            return 0, (gr, gi, nm)
+            return 0, (gr, gi, nm + nd0)
 
         _, (g_re, g_im, masked) = jax.lax.scan(
             body, 0, (ratios.astype(jnp.float32), vis_s))
@@ -181,11 +228,12 @@ def _idg_multi_pipeline(uvw, f_ref, ratios, vis_mc, *, theta, lam, g,
 @partial(complex_safe_jit,
          static_argnames=("theta", "lam", "g", "subgrid", "taper_beta",
                           "max_runs", "drift_cells", "fov_pad",
-                          "use_pallas", "layout"))
+                          "use_pallas", "layout", "exact_weights"))
 def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios, vis_mc, *,
                            theta, lam, g, subgrid=64, taper_beta=12.0,
                            max_runs=4096, drift_cells=0, fov_pad=None,
-                           use_pallas=True, layout=None):
+                           use_pallas=True, layout=None,
+                           exact_weights=False):
     """One channel GROUP through IDG-AW (image-domain antenna screens):
     one (pair, uv-tile) run sort, per-channel updates.  Returns
     (cube [g, n, n], per-channel drop counts [g] — base chunking drops
@@ -199,7 +247,8 @@ def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios, vis_mc, *,
 
     n_t, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
     uvw0 = uvw_lambda(f_ref, uvw)
-    wts = _weights_multi(theta, lam, uvw0, ratios, vis_mc.shape[1])
+    wts = _weights_multi(theta, lam, uvw0, ratios,
+                         vis_mc.shape[1], exact=exact_weights)
     uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
     neg = uvw0[:, 1] < 0
     vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
@@ -278,9 +327,10 @@ def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios, vis_mc, *,
 
 
 @partial(complex_safe_jit,
-         static_argnames=("theta", "lam", "g", "chunk"))
+         static_argnames=("theta", "lam", "g", "chunk", "exact_weights"))
 def _wproj_multi_pipeline(bank_conj, wbins, uvw, f_ref, ratios, vis_mc, *,
-                          theta, lam, g, chunk=8192):
+                          theta, lam, g, chunk=8192,
+                          exact_weights=False):
     """One channel GROUP through w-projection.  The resident-grid scatter
     needs no binning at all, so per-channel work is simply the scaled
     scatter — a ``lax.scan`` over channels sharing one kernel instance.
@@ -289,7 +339,8 @@ def _wproj_multi_pipeline(bank_conj, wbins, uvw, f_ref, ratios, vis_mc, *,
     from ..kernels import wproj_gridder
 
     uvw0 = uvw_lambda(f_ref, uvw)
-    wts = _weights_multi(theta, lam, uvw0, ratios, vis_mc.shape[1])
+    wts = _weights_multi(theta, lam, uvw0, ratios,
+                         vis_mc.shape[1], exact=exact_weights)
     uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
     neg = uvw0[:, 1] < 0
     vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
@@ -371,32 +422,53 @@ def idg_gridding_multi(
     n = n if n is not None else data.vis.shape[0]
     nch = min(channels, data.frequencies.shape[0])
     freqs = np.asarray(data.frequencies[:nch], np.float64)
-    vis_mc = np.ascontiguousarray(
-        data.vis_chan[:n, :nch].T.astype(prec.np_complex))
+    with timer.phase("host/prep"):
+        vis_mc = np.ascontiguousarray(
+            data.vis_chan[:n, :nch].T.astype(prec.np_complex))
 
-    from ..ops.idg import fov_pad_geometry
+        from ..ops.idg import fov_pad_geometry
 
-    _, n_grid, _, _ = fov_pad_geometry(theta, lam, fov_pad)
-    ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam, n_grid)
-    # centered-stride slack of the multi binning (idg_bin_records_multi)
-    S, s = subgrid, 15
-    slack = (S - s) // 2 - S // 4 - 1
-    groups = plan_channel_groups(freqs, ext, max(slack, 1))
+        _, n_grid, _, _ = fov_pad_geometry(theta, lam, fov_pad)
+        ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam,
+                              n_grid)
+        # per-channel recheck slack of the run prep (margin_full − the
+        # binning margin; _idg_multi_pipeline derives Tc from the drift)
+        S, s = subgrid, 15
+        slack = (S - s) // 2 - S // 4 - 1
+        groups = plan_channel_groups(freqs, ext, max(slack, 1))
 
     cube = np.zeros((nch, int(round(theta * lam)), int(round(theta * lam))),
                     prec.np_real)
     drops = np.zeros((nch,), np.int64)
-    with timer.phase("h2d+compile+grid+fft"):
+    # explicit h2d staging under its own phase: on a PCIe-local host this
+    # is milliseconds; on the dev harness's remote tunnel (~20-40 MB/s)
+    # it dominates wall-clock, and timing it separately lets bench.py
+    # report the compute-side rate honestly (real planes because axon
+    # cannot transfer complex dtypes)
+    import jax as _jax
+
+    with timer.phase("h2d/vis+uvw"):
+        uvw_d = _jax.device_put(np.asarray(data.uvw[:n], prec.np_real))
+        vr_d = _jax.device_put(np.ascontiguousarray(vis_mc.real))
+        vi_d = _jax.device_put(np.ascontiguousarray(vis_mc.imag))
+        _jax.block_until_ready((uvw_d, vr_d, vi_d))
+    with timer.phase("compile+grid+fft"):
+        imgs = []
         for (i, j, f_ref, _drift) in groups:
             ratios = (freqs[i:j] / f_ref).astype(prec.np_real)
             img, masked = _idg_multi_pipeline(
-                np.asarray(data.uvw[:n], prec.np_real),
-                np.asarray(f_ref, prec.np_real),
-                ratios, vis_mc[i:j],
+                uvw_d, np.asarray(f_ref, prec.np_real),
+                ratios, vr_d[i:j], vi_d[i:j],
                 theta=theta, lam=lam, g=j - i, subgrid=subgrid,
                 taper_beta=taper_beta, fov_pad=fov_pad,
                 use_pallas=_use_pallas(),
+                exact_weights=_exact_weights(),
+                drift_cells=_drift,
             )
+            imgs.append((i, j, img, masked))
+        _jax.block_until_ready([im for (_, _, im, _) in imgs])
+    with timer.phase("d2h/cube"):
+        for (i, j, img, masked) in imgs:
             cube[i:j] = np.asarray(img)
             drops[i:j] = np.asarray(masked)
     _surface_drops(drops, n, timer)
@@ -475,6 +547,7 @@ def aw_idg_gridding_multi(
                 taper_beta=taper_beta, max_runs=max_runs,
                 drift_cells=drift, fov_pad=fov_pad,
                 use_pallas=_use_pallas(), layout=layout,
+                exact_weights=_exact_weights(),
             )
             cube[i:j] = np.asarray(img)
             drops[i:j] = np.asarray(nd)
@@ -522,7 +595,16 @@ def w_gridding_multi(
             np.asarray(f_ref, prec.np_real),
             ratios, vis_mc,
             theta=theta, lam=lam, g=nch, chunk=min(8192, max(256, n)),
+            exact_weights=_exact_weights(),
         )
         cube = np.asarray(cube)
     mx, img_mean = _finish_cube(cube, outfile, timer)
     return mx, img_mean, cube
+
+
+def _exact_weights() -> bool:
+    """SKA_SDP_TPU_EXACT_WEIGHTS=1: per-channel uniform-weight
+    histograms on each channel's own scaled uv cells (see
+    :func:`_weights_multi`); read per driver call and passed as a
+    static arg so changing it retraces."""
+    return os.environ.get("SKA_SDP_TPU_EXACT_WEIGHTS", "0") == "1"

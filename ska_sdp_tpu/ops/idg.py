@@ -74,9 +74,10 @@ def _spread_i32(vals_at_starts, starts, n_pad):
 def kaiser_taper(S: int, beta: float, dtype=jnp.float32):
     """Separable Kaiser image-domain taper sampled on the S-point coarse
     grid: t[q] = I0(β√(1-(2(q-S/2)/S)²)) / I0(β)."""
-    q = (jnp.arange(S, dtype=jnp.float64) - S // 2) / (S / 2)
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    q = (jnp.arange(S, dtype=fdt) - S // 2) / (S / 2)
     t = jnp.i0(beta * jnp.sqrt(jnp.clip(1.0 - q * q, 0.0, 1.0)))
-    return (t / jnp.i0(jnp.asarray(beta, jnp.float64))).astype(dtype)
+    return (t / jnp.i0(jnp.asarray(beta, fdt))).astype(dtype)
 
 
 def taper_fine(N: int, S: int, taper_1d):

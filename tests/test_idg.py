@@ -1247,3 +1247,38 @@ class TestIDGAWStream:
         rs, re = block_run_ranges(starts, ends, 16, 4)
         assert rs.tolist() == [0, 2, 2, 3]
         assert re.tolist() == [2, 3, 4, 4]
+
+
+class TestIDGViaUnitScreenRuns:
+    """Plain IDG through the IDG-AW run machinery with UNIT screens and
+    zero pair ids (the round-4 spectral-driver fast path): with every
+    record keyed (pair=0, uv-tile), runs are the occupied tiles and
+    conj(1·1)=1 makes the operator plain exact continuous-w IDG."""
+
+    def test_unit_screen_runs_match_idg_oracle(self, rng):
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            idg_aw_gridder_stream)
+        from ska_sdp_tpu.ops.idg import idg_grid_wproj
+
+        b = 3000
+        p = np.zeros((b, 3), np.float32)
+        p[:, :2] = rng.uniform(-0.42, 0.42, (b, 2)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+        zer = jnp.zeros((b,), jnp.int32)
+        scr = jnp.ones((1, SA, SA), jnp.complex64)
+
+        margin_full = SA // 2 - 15 // 2 - 12
+        tc = 2 * margin_full - 2
+        max_runs = ((N + 2 * SA) // tc + 2) ** 2 + 64
+        got, nd = idg_aw_gridder_stream(
+            (N, N), jnp.asarray(p), zer, zer, jnp.asarray(w),
+            jnp.asarray(vis), scr, theta=THETA, subgrid=SA,
+            max_runs=max_runs, interpret=True)
+        assert int(nd) == 0
+        want = idg_grid_wproj((N, N), jnp.asarray(p), jnp.asarray(w),
+                              jnp.asarray(vis), theta=THETA, subgrid=SA)
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, d

@@ -330,7 +330,13 @@ class TestSpectralDrivers:
         assert len(groups) == 1
 
     def test_idg_cube_matches_single_channel_runs(self, spectral_dataset,
-                                                  imaging_config):
+                                                  imaging_config,
+                                                  monkeypatch):
+        # bit-parity with per-channel single-channel runs requires the
+        # per-channel weight histograms; the DEFAULT multi-channel
+        # weighting shares the group-reference histogram (the standard
+        # combined-density uniform weighting -- _weights_multi)
+        monkeypatch.setenv("SKA_SDP_TPU_EXACT_WEIGHTS", "1")
         paths, obs, chan_files = spectral_dataset
         n_grid = int(round(CFG.theta * CFG.lam))
         mx, img, cube = spectral.idg_gridding_multi(
@@ -343,7 +349,9 @@ class TestSpectralDrivers:
         assert mx == pytest.approx(float(img.max()))
 
     def test_w_cube_matches_single_channel_runs(self, spectral_dataset,
-                                                imaging_config):
+                                                imaging_config,
+                                                monkeypatch):
+        monkeypatch.setenv("SKA_SDP_TPU_EXACT_WEIGHTS", "1")
         paths, obs, chan_files = spectral_dataset
         mx, img, cube = spectral.w_gridding_multi(
             paths["wkern"], paths["vis"], CFG.nchan, config=imaging_config)
@@ -355,7 +363,9 @@ class TestSpectralDrivers:
             assert rel < 1e-10, (c, rel)
 
     def test_aw_idg_cube_matches_single_channel_runs(self, spectral_dataset,
-                                                     imaging_config):
+                                                     imaging_config,
+                                                     monkeypatch):
+        monkeypatch.setenv("SKA_SDP_TPU_EXACT_WEIGHTS", "1")
         paths, obs, chan_files = spectral_dataset
         n_grid = int(round(CFG.theta * CFG.lam))
         mx, img, cube = spectral.aw_idg_gridding_multi(
@@ -364,6 +374,25 @@ class TestSpectralDrivers:
             _, img1 = ds.aw_gridding(paths["wkern"], paths["akern"], f,
                                      config=imaging_config, idg=True)
             assert _crop_rel(cube[c], img1, n_grid) < 1e-10, c
+
+    def test_default_shared_weights_close_to_exact(self, spectral_dataset,
+                                                    imaging_config,
+                                                    monkeypatch):
+        """DEFAULT weighting shares the group-reference density histogram
+        (combined uniform weighting, the CASA/WSClean convention for
+        multi-channel data); per-channel-exact is env-gated.  The two
+        agree on the image to the weighting convention's own tolerance
+        at this narrowband spacing, and the cube stays finite."""
+        paths, _, _ = spectral_dataset
+        _, _, cube = spectral.idg_gridding_multi(
+            paths["vis"], CFG.nchan, config=imaging_config)
+        assert np.all(np.isfinite(cube))
+        monkeypatch.setenv("SKA_SDP_TPU_EXACT_WEIGHTS", "1")
+        _, _, cube_x = spectral.idg_gridding_multi(
+            paths["vis"], CFG.nchan, config=imaging_config)
+        rel = (np.linalg.norm(cube - cube_x)
+               / np.linalg.norm(cube_x))
+        assert rel < 0.5, rel    # same field, same peaks; weighting-level
 
     def test_output_file_layout(self, spectral_dataset, imaging_config,
                                 tmp_path):
