@@ -527,8 +527,45 @@ def main_ab():
                chain=chain_k)
 
 
+
+
+
+def main_degrid():
+    print("devices:", jax.devices(), flush=True)
+    from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+        idg_aw_degrid_stream)
+    rng = np.random.default_rng(11)
+    p, w, a1, a2, vr, vi, nbl, n = track_data(rng)
+    max_runs = 8 * nbl + n // 128 + 64
+    s = 15
+    ak = np.zeros((NANT, s, s), np.complex64)
+    ak[:, s // 2, s // 2] = 1.0
+    scr = aw_screens_host(ak, 64).astype(np.complex64)
+    sre = jnp.asarray(scr.real.astype(np.float32))
+    sim = jnp.asarray(scr.imag.astype(np.float32))
+    gre = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
+    gim = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
+    pj, wj = jnp.asarray(p), jnp.asarray(w)
+    a1j, a2j = jnp.asarray(a1), jnp.asarray(a2)
+
+    for tier in ("split3", "exact"):
+        os.environ["SKA_SDP_TPU_IDG_AW_PRECISION"] = tier
+
+        @jax.jit
+        def dg(gre, gim, pj, wj, a1j, a2j, sre, sim, salt):
+            vre, vim, nd = idg_aw_degrid_stream(
+                (N, N), pj, a1j, a2j, wj, gre + salt, gim, sre, sim,
+                theta=THETA, max_runs=max_runs)
+            return jnp.sum(jnp.abs(vre)) + jnp.sum(jnp.abs(vim)) + 0.0 * nd
+
+        timeit(f"degrid-stream/{tier}", dg,
+               (gre, gim, pj, wj, a1j, a2j, sre, sim), n)
+
+
 if __name__ == "__main__":
     if "ab" in sys.argv[1:]:
         main_ab()
+    elif "degrid" in sys.argv[1:]:
+        main_degrid()
     else:
         main()

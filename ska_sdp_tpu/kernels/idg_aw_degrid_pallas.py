@@ -259,7 +259,23 @@ def idg_aw_degrid_pallas(grid_shape, p, a1, a2, w, grid_re, grid_im,
                          max_runs: int = 4096, fit_margin: int = 0,
                          interpret: bool = False):
     """IDG-AW degridding on TPU; returns (vis_re, vis_im, n_dropped) —
-    same operator as ``ops.idg_aw.idg_degrid_aw`` (the oracle)."""
+    same operator as ``ops.idg_aw.idg_degrid_aw`` (the oracle).
+
+    Dispatches to the round-4 streamed (block-major) degridder by
+    default (bit-identical at the exact tier; ``idg_aw_stream_pallas``
+    documents the design); ``SKA_SDP_TPU_IDG_AW_KERNEL=run`` pins this
+    module's run-major kernel."""
+    import os as _os
+
+    if _os.environ.get("SKA_SDP_TPU_IDG_AW_KERNEL", "stream") != "run":
+        from .idg_aw_stream_pallas import idg_aw_degrid_stream
+
+        return idg_aw_degrid_stream(
+            grid_shape, p, a1, a2, w, grid_re, grid_im, scr_re, scr_im,
+            theta=theta, subgrid=subgrid, support=support,
+            taper_beta=taper_beta, max_runs=max_runs,
+            fit_margin=fit_margin, interpret=interpret,
+        )
     N, Nx = grid_shape
     S = subgrid
     n = p.shape[0]

@@ -357,3 +357,274 @@ def idg_aw_gridder_stream(grid_shape, p, a1, a2, w, vis, screens, *,
         chunk=chunk, interpret=interpret, ordered=ordered,
     )
     return jax.lax.complex(g_re, g_im), nd
+
+
+# ---------------------------------------------------------------------------
+# Streamed DEgridder: the adjoint walk (model predict with A-terms)
+# ---------------------------------------------------------------------------
+
+
+def _degrid_kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
+                   rs_ref, re_ref, recs_hbm, grid_ref, sr_ref, si_ref,
+                   fre_ref, fim_ref, pe_ref, po_ref, out_hbm, recs_v,
+                   stage, acc, sems, *, S: int, theta: float,
+                   theta_x: float, chunk: int, tier: str):
+    """Block-major streamed IDG-AW degridding (adjoint of `_kernel`):
+    walk the sorted record stream once; when a run STARTS inside a block
+    its subgrid image is computed (window read + adjoint sandwich +
+    UNconjugated pair screen) into the persistent stacked accumulator;
+    every segment contracts the shared per-block phase matrices against
+    that accumulator and accumulates its lanes of the block's output
+    rows, which are DMA'd out once per block (each block written exactly
+    once — the run-major kernel's head/main boundary protocol
+    disappears)."""
+    C = chunk
+    nblk = recs_hbm.shape[0]
+    f32, bf = jnp.float32, jnp.bfloat16
+
+    cq = (jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) - (S // 2)
+          ).astype(f32)
+    lq2y = (cq * (theta / S)) ** 2
+    lq2x = (cq * (theta_x / S)) ** 2
+    two_pi_s = jnp.float32(2.0 * np.pi / S)
+    pi_ = jnp.float32(np.pi)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+
+    dn_nt = (((1,), (0,)), ((), ()))
+    dn_tn = (((0,), (0,)), ((), ()))
+
+    if tier == "split3":
+        def dgr(a, b, dn=dn_nt):
+            ah = a.astype(bf)
+            al = (a - ah.astype(f32)).astype(bf)
+            bh = b.astype(bf)
+            bl = (b - bh.astype(f32)).astype(bf)
+
+            def d(x, y):
+                return jax.lax.dot_general(
+                    x, y, dn, preferred_element_type=f32,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+    else:
+        def dgr(a, b, dn=dn_nt):
+            return jax.lax.dot_general(
+                a, b, dn, preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+
+    def dma_in(slot, c):
+        return pltpu.make_async_copy(
+            recs_hbm.at[c], recs_v.at[slot], sems.at[slot])
+
+    dma_in(0, 0).start()
+
+    def prologue(r):
+        """Run subgrid image — window read, de-interleave, adjoint
+        sandwich, unconjugated screen — into the stacked acc."""
+        y0 = y0_ref[r]
+        x2 = x0_ref[r] * 2
+        rr = jax.lax.rem(y0, jnp.int32(8))
+        rem = jax.lax.rem(x2, jnp.int32(128))
+        y0a = pl.multiple_of(y0 - rr, 8)
+        x2a = pl.multiple_of(x2 - rem, 128)
+        win = grid_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)]
+        win = pltpu.roll(pltpu.roll(win, (S + 8) - rr, 0),
+                         (2 * S + 128) - rem, 1)
+        win = win[0:S, 0:2 * S]                            # (S, 2S) re|im
+        w_re = dgr(win, pe_ref[:])
+        w_im = dgr(win, po_ref[:])
+
+        b_re = dgr(fre_ref[:], w_re, dn_tn) + dgr(fim_ref[:], w_im, dn_tn)
+        b_im = dgr(fre_ref[:], w_im, dn_tn) - dgr(fim_ref[:], w_re, dn_tn)
+        t_re = dgr(b_re, fre_ref[:]) + dgr(b_im, fim_ref[:])
+        t_im = dgr(b_im, fre_ref[:]) - dgr(b_re, fim_ref[:])
+
+        nant = sr_ref.shape[0]
+        i1 = jnp.minimum(a1_ref[r], nant - 1)
+        i2 = jnp.minimum(a2_ref[r], nant - 1)
+        r1, im1 = sr_ref[i1], si_ref[i1]
+        r2, im2 = sr_ref[i2], si_ref[i2]
+        p_re = r1 * r2 - im1 * im2                         # UNconjugated
+        p_im = r1 * im2 + im1 * r2
+        acc[0:S, :] = t_re * p_re - t_im * p_im
+        acc[S:2 * S, :] = t_re * p_im + t_im * p_re
+
+    def block_body(b, _):
+        slot = jax.lax.rem(b, jnp.asarray(2, b.dtype))
+
+        @pl.when(b + 1 < nblk)
+        def _():
+            dma_in(1 - slot, b + 1).start()
+
+        dma_in(slot, b).wait()
+
+        @pl.when(b >= 2)
+        def _():
+            pltpu.make_async_copy(
+                stage.at[slot], out_hbm.at[b - 2], sems.at[2 + slot]
+            ).wait()
+
+        r0 = rs_ref[b]
+        r1 = re_ref[b]
+
+        dy = recs_v[slot, 0:1, :]
+        dx = recs_v[slot, 1:2, :]
+        w = recs_v[slot, 2:3, :]
+        ph_y = two_pi_s * cq * dy - pi_ * lq2y * w         # (S, C)
+        ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
+        ey_re = jnp.cos(ph_y)
+        ey_im = jnp.sin(ph_y)
+        ex_re = jnp.cos(ph_x)
+        ex_im = jnp.sin(ph_x)
+
+        def seg_body(k, rows):
+            rows_re, rows_im = rows
+            r = r0 + k
+
+            @pl.when(starts_ref[r] >= b * C)               # run starts here
+            def _():
+                prologue(r)
+
+            acc2 = acc[:]                                  # (2S, S)
+            t1 = dgr(acc2, ex_re)                          # (2S, C)
+            t2 = dgr(acc2, ex_im)
+            t_re = t1[0:S, :] + t2[S:2 * S, :]
+            t_im = t1[S:2 * S, :] - t2[0:S, :]
+            v_re = jnp.sum(ey_re * t_re + ey_im * t_im, axis=0,
+                           keepdims=True)
+            v_im = jnp.sum(ey_re * t_im - ey_im * t_re, axis=0,
+                           keepdims=True)
+            lo = jnp.maximum(starts_ref[r] - b * C, 0)
+            hi = jnp.minimum(ends_ref[r] - b * C, C)
+            m = ((lane >= lo) & (lane < hi)).astype(f32)
+            return (rows_re + v_re * m, rows_im + v_im * m)
+
+        z = jnp.zeros((1, C), f32)
+        rows_re, rows_im = jax.lax.fori_loop(0, r1 - r0, seg_body, (z, z),
+                                             unroll=False)
+        stage[slot] = jnp.concatenate(
+            [rows_re, rows_im] + [jnp.zeros((6, C), f32)], axis=0)
+        pltpu.make_async_copy(
+            stage.at[slot], out_hbm.at[b], sems.at[2 + slot]).start()
+        return 0
+
+    jax.lax.fori_loop(0, nblk, block_body, 0, unroll=False)
+
+    @pl.when(nblk >= 2)
+    def _():
+        s0 = jax.lax.rem(jnp.int32(nblk - 2), jnp.int32(2))
+        pltpu.make_async_copy(
+            stage.at[s0], out_hbm.at[nblk - 2], sems.at[2 + s0]).wait()
+
+    s1 = jax.lax.rem(jnp.int32(nblk - 1), jnp.int32(2))
+    pltpu.make_async_copy(
+        stage.at[s1], out_hbm.at[nblk - 1], sems.at[2 + s1]).wait()
+
+
+def idg_aw_degrid_stream(grid_shape, p, a1, a2, w, grid_re, grid_im,
+                         scr_re, scr_im, *, theta: float, subgrid: int = 64,
+                         support: int = 15, taper_beta: float = 12.0,
+                         max_runs: int = 4096, fit_margin: int = 0,
+                         chunk: int = CHUNK, interpret: bool = False):
+    """Streamed IDG-AW degridding; returns (vis_re, vis_im, n_dropped) —
+    same operator as ``ops.idg_aw.idg_degrid_aw`` (the oracle) and the
+    run-major ``idg_aw_degrid_pallas``."""
+    from .idg_aw_degrid_pallas import idg_aw_degrid_records
+
+    N, Nx = grid_shape
+    S = subgrid
+    n = p.shape[0]
+    recs, starts_ext, y0, x0, ia1, ia2, order_s, use, n_dropped = \
+        idg_aw_degrid_records(
+            grid_shape, p, a1, a2, w, subgrid=S, support=support,
+            max_runs=max_runs, fit_margin=fit_margin, chunk=chunk,
+        )
+    starts = starts_ext[:max_runs]
+    ends = jnp.minimum(starts_ext[1:], jnp.int32(n))
+    nblk = recs.shape[0]
+    HP, WP2 = _geometry(N, Nx, S)
+    PADM = S
+    tier = _tier()
+
+    inter = jnp.stack([grid_re.astype(jnp.float32),
+                       grid_im.astype(jnp.float32)], axis=-1
+                      ).reshape(N, 2 * Nx)
+    gp = jnp.zeros((HP, WP2), jnp.float32)
+    gp = jax.lax.dynamic_update_slice(gp, inter, (PADM, 2 * PADM))
+
+    k = np.arange(S, dtype=np.float64) - S // 2
+    F = np.exp(-2j * np.pi * np.outer(k, k) / S) / S
+    if taper_beta > 0:
+        x_ = k / (S / 2)
+        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
+        F = F * (t1 / np.i0(taper_beta))[None, :]
+    Pe = np.zeros((2 * S, S), np.float32)
+    Po = np.zeros((2 * S, S), np.float32)
+    Pe[0::2, :] = np.eye(S, dtype=np.float32)
+    Po[1::2, :] = np.eye(S, dtype=np.float32)
+
+    n_pad = nblk * chunk
+    rs, re = block_run_ranges(starts, ends, n_pad, chunk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # recs [nblk,8,C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # resident grid
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # scr re
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # scr im
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # F re
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # F im
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # P even
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # P odd
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),      # [nblk, 8, C]
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, chunk), jnp.float32),       # record blocks
+            pltpu.VMEM((2, 8, chunk), jnp.float32),       # out stage
+            pltpu.VMEM((2 * S, S), jnp.float32),          # stacked acc
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    total = pl.pallas_call(
+        functools.partial(_degrid_kernel, S=S, theta=theta,
+                          theta_x=theta * Nx / N, chunk=chunk, tier=tier),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblk, 8, chunk), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(starts, ends, y0, x0, ia1, ia2, rs, re, recs, gp,
+      scr_re.astype(jnp.float32), scr_im.astype(jnp.float32),
+      jnp.asarray(F.real, jnp.float32), jnp.asarray(F.imag, jnp.float32),
+      jnp.asarray(Pe), jnp.asarray(Po))
+
+    flat = total[:, 0:2, :].transpose(0, 2, 1).reshape(-1, 2)
+    re_s = flat[:n, 0]
+    im_s = flat[:n, 1]
+    _, re_u, im_u = jax.lax.sort([order_s, re_s, im_s], num_keys=1)
+    usef = use.astype(jnp.float32)
+    return re_u * usef, im_u * usef, n_dropped
+
+
+def idg_aw_degridder_stream(grid_shape, p, a1, a2, w, grid, screens, *,
+                            theta: float, subgrid: int = 64,
+                            support: int = 15, taper_beta: float = 12.0,
+                            max_runs: int = 4096, fit_margin: int = 0,
+                            chunk: int = CHUNK, interpret: bool = False):
+    """Complex wrapper matching ``ops.idg_aw.idg_degrid_aw``'s signature;
+    returns (vis, n_dropped)."""
+    v_re, v_im, nd = idg_aw_degrid_stream(
+        grid_shape, p, a1, a2, w,
+        jnp.real(grid).astype(jnp.float32),
+        jnp.imag(grid).astype(jnp.float32),
+        jnp.real(screens).astype(jnp.float32),
+        jnp.imag(screens).astype(jnp.float32),
+        theta=theta, subgrid=subgrid, support=support,
+        taper_beta=taper_beta, max_runs=max_runs, fit_margin=fit_margin,
+        chunk=chunk, interpret=interpret,
+    )
+    return jax.lax.complex(v_re, v_im), nd

@@ -1282,3 +1282,56 @@ class TestIDGViaUnitScreenRuns:
         d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
              / np.linalg.norm(np.asarray(want)))
         assert d < 5e-5, d
+
+
+class TestIDGAWDegridStream:
+    """Round-4 streamed (block-major) IDG-AW DEgridder: per-run window
+    prologue, shared per-block trig, one output block per stream block
+    (the run-major head/main boundary protocol disappears)."""
+
+    def test_stream_degrid_matches_run_major_and_oracle(self, rng,
+                                                        monkeypatch):
+        from ska_sdp_tpu.kernels.idg_aw_degrid_pallas import (
+            idg_aw_degridder_pallas)
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            idg_aw_degridder_stream)
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_degrid_aw
+
+        p, w, a1, a2, _vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        nant = 5
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        grid = (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        mr = 8 * nbl + p.shape[0] // 128 + 64
+        args = (jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+                jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+                jnp.asarray(grid), scr)
+
+        monkeypatch.setenv("SKA_SDP_TPU_IDG_AW_KERNEL", "run")
+        v_run, nd_run = idg_aw_degridder_pallas(
+            (N, N), args[0], args[1], args[2], args[3], args[4], args[5],
+            theta=THETA, subgrid=SA, max_runs=mr, interpret=True)
+        v_or, nd_or = idg_degrid_aw(
+            (N, N), args[0], args[1], args[2], args[3], args[4], args[5],
+            theta=THETA, subgrid=SA, max_runs=mr)
+        ref = np.asarray(v_run)
+        for tier, tol in (("exact", 1e-12), ("split3", 5e-5)):
+            monkeypatch.setenv("SKA_SDP_TPU_IDG_AW_PRECISION", tier)
+            v_st, nd_st = idg_aw_degridder_stream(
+                (N, N), args[0], args[1], args[2], args[3], args[4],
+                args[5], theta=THETA, subgrid=SA, max_runs=mr,
+                interpret=True)
+            assert int(nd_run) == int(nd_st) == int(nd_or) == 0
+            d = (np.linalg.norm(np.asarray(v_st) - ref)
+                 / np.linalg.norm(ref))
+            assert d < tol, (tier, d)
+        d = (np.linalg.norm(np.asarray(v_st) - np.asarray(v_or))
+             / np.linalg.norm(np.asarray(v_or)))
+        assert d < 5e-5, d
