@@ -216,6 +216,28 @@ def idg_gridder(grid_shape, p, w, vis, *, theta: float, subgrid: int = 64,
             f"S={subgrid} — use a larger subgrid"
         )
     if _resolved_impl() == "pallas":
+        mr = _idg_unit_run_bound(grid_shape, subgrid, support)
+        if mr is not None:
+            # round 4: plain IDG rides the streamed run-walking kernel
+            # with UNIT screens and zero pair ids — records key to
+            # (pair=0, uv-tile), runs are the occupied tiles, and
+            # conj(1·1)=1 keeps the operator exact continuous-w IDG
+            # (parity: tests/test_idg.py::TestIDGViaUnitScreenRuns).
+            # In-bounds records always fit the tile margin and the run
+            # bound covers every tile, so n_dropped counts exactly the
+            # out-of-bounds records the fixed-tile path also excludes.
+            import jax.numpy as jnp
+
+            from .idg_aw_stream_pallas import idg_aw_gridder_stream
+
+            zer = jnp.zeros((p.shape[0],), jnp.int32)
+            scr = jnp.ones((1, subgrid, subgrid), jnp.complex64)
+            guv, _nd = idg_aw_gridder_stream(
+                grid_shape, p, zer, zer, w, vis, scr, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=mr,
+            )
+            return guv
         from .idg_pallas import idg_gridder_pallas
 
         return idg_gridder_pallas(
@@ -226,6 +248,25 @@ def idg_gridder(grid_shape, p, w, vis, *, theta: float, subgrid: int = 64,
         grid_shape, p, w, vis, theta=theta, subgrid=subgrid,
         support=support, taper_beta=taper_beta,
     )
+
+
+def _idg_unit_run_bound(grid_shape, subgrid: int, support: int):
+    """max_runs for the unit-screen run path of plain IDG, or None when
+    the streamed kernel cannot serve it losslessly (wrong subgrid, grid
+    too big for VMEM residency, or more possible tiles than the SMEM
+    run-CSR comfortably holds — overflow would silently drop records the
+    fixed-tile kernels keep)."""
+    from .idg_aw_pallas import idg_aw_resident_fits
+
+    if subgrid != 64 or not idg_aw_resident_fits(
+            grid_shape[0], grid_shape[1], 1, subgrid):
+        return None
+    margin = subgrid // 2 - support // 2 - 12
+    if margin <= 0:
+        return None
+    tc = 2 * margin - 2
+    bound = ((max(grid_shape) + 2 * subgrid) // tc + 2) ** 2 + 64
+    return bound if bound <= 24576 else None
 
 
 def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
@@ -244,6 +285,20 @@ def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
             f"S={subgrid} — use a larger subgrid"
         )
     if _resolved_impl() == "pallas":
+        mr = _idg_unit_run_bound(grid_shape, subgrid, support)
+        if mr is not None:
+            import jax.numpy as jnp
+
+            from .idg_aw_stream_pallas import idg_aw_degridder_stream
+
+            zer = jnp.zeros((p.shape[0],), jnp.int32)
+            scr = jnp.ones((1, subgrid, subgrid), jnp.complex64)
+            vis, _nd = idg_aw_degridder_stream(
+                grid_shape, p, zer, zer, w, grid, scr, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=mr,
+            )
+            return vis
         from .idg_degrid_pallas import idg_degrid_wproj_pallas
 
         return idg_degrid_wproj_pallas(
