@@ -31,8 +31,12 @@ import numpy as np
 ICI_BW = 9.0e10      # B/s bidirectional per chip, v5e 2-D torus (1600 Gbps)
 DCN_BW = 2.5e10      # B/s per host NIC (200 Gbps class)
 CHIPS_PER_HOST = 4   # v5e-4 host
-WPROJ_RATE = 32.0e6  # vis/s/chip measured on the real chip (BENCH.md r3 final,
-                     # resident-grid kernel, chained-dispatch timing)
+WPROJ_RATE = 35.3e6  # vis/s/chip measured on the real chip (BENCH.md r4,
+                     # resident-grid kernel, chain=32 dispatch timing)
+IDG_AW_RATE = 87.0e6  # vis/s/chip, streamed IDG-AW sustained (r4) — the
+                     # fastest path; its comm pattern is the same
+                     # grid-allreduce, so the slab table below is also
+                     # computed at this rate (tighter amortization bar)
 
 _DT_BYTES = {"f32": 4, "f64": 8, "c64": 8, "c128": 16, "s32": 4, "u32": 4,
              "pred": 1, "bf16": 2}
@@ -177,14 +181,17 @@ def main() -> None:
             # at the r3 per-chip rate the old 131K slab no longer amortizes
             # the collectives, 1M+ does (VERDICT r2 #7)
             for slab in (1 << 17, 1 << 20, 1 << 22):
-                t_comp = slab / WPROJ_RATE
-                eff = t_comp / (t_comp + t_ici + t_dcn)
-                print(
-                    f"{name:12s} hosts={n_hosts} chips={chips:2d}: "
-                    f"comp {t_comp*1e3:6.1f} ms  ici {t_ici*1e3:5.1f} ms  "
-                    f"dcn {t_dcn*1e3:5.1f} ms  -> efficiency {eff:5.1%} "
-                    f"({slab} vis/chip/step)"
-                )
+                for rname, r in (("wproj", WPROJ_RATE),
+                                 ("idg-aw", IDG_AW_RATE)):
+                    t_comp = slab / r
+                    eff = t_comp / (t_comp + t_ici + t_dcn)
+                    print(
+                        f"{name:12s} {rname:6s} hosts={n_hosts} "
+                        f"chips={chips:2d}: "
+                        f"comp {t_comp*1e3:6.1f} ms  ici {t_ici*1e3:5.1f}"
+                        f" ms  dcn {t_dcn*1e3:5.1f} ms  -> efficiency "
+                        f"{eff:5.1%} ({slab} vis/chip/step)"
+                    )
     print(
         "\nNOTE: modeled, not measured — one real chip in this environment. "
         "Wire volumes above ARE measured (from the optimized HLO); only the "
