@@ -457,12 +457,41 @@ def main() -> None:
                 nT, k=3,
             )
 
-        return (rate, rate_ordered,
-                _best_effort("aw_idg_sustained", _sustained))
+        # degridding (model predict with A-terms) through the streamed
+        # adjoint kernel
+        def _degrid():
+            from ska_sdp_tpu.kernels import idg_aw_degridder
 
-    _progress("metric 7/10: IDG-AW single-shot + sustained")
-    aw_idg_rate, aw_idg_ord, aw_idg_sus = (
-        _best_effort("aw_idg", _idg_aw) or (0.0, 0.0, 0.0))
+            g_re = jnp.asarray(
+                rng.standard_normal((n_grid, n_grid)).astype(np.float32))
+            g_im = jnp.asarray(
+                rng.standard_normal((n_grid, n_grid)).astype(np.float32))
+
+            @jax.jit
+            def dg_step(g_re, g_im, p_j, w_j, a1_j, a2_j, sre, sim, salt):
+                v, nd = idg_aw_degridder(
+                    (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                    jax.lax.complex(g_re + salt, g_im),
+                    jax.lax.complex(sre, sim),
+                    theta=THETA, max_runs=max_runs,
+                )
+                return (jnp.sum(jnp.abs(jnp.real(v)))
+                        + jnp.sum(jnp.abs(jnp.imag(v))) + 0.0 * nd)
+
+            return _rate(
+                dg_step,
+                (g_re, g_im, argsT[0], argsT[1], argsT[2], argsT[3],
+                 argsT[4], argsT[5]),
+                nT, k=3,
+            )
+
+        return (rate, rate_ordered,
+                _best_effort("aw_idg_sustained", _sustained),
+                _best_effort("aw_idg_degrid", _degrid))
+
+    _progress("metric 7/10: IDG-AW single-shot + sustained + degrid")
+    aw_idg_rate, aw_idg_ord, aw_idg_sus, aw_idg_dg = (
+        _best_effort("aw_idg", _idg_aw) or (0.0, 0.0, 0.0, 0.0))
 
     # 4. full imaging step: scatter + hermitian + centered iFFT
     @jax.jit
@@ -689,6 +718,12 @@ def main() -> None:
                         "value": round(aw_idg_ord, 1),
                         "unit": "vis/s",
                         **_util(aw_idg_ord, "idg"),
+                    },
+                    {
+                        "metric": "IDG-AW degridding / predict with A-terms (streamed adjoint kernel)",
+                        "value": round(aw_idg_dg, 1),
+                        "unit": "vis/s",
+                        **_util(aw_idg_dg, "idg"),
                     },
                     {
                         "metric": "SUSTAINED IDG-AW (run sort amortized across channel group)",
