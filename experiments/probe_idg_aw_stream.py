@@ -161,7 +161,8 @@ from ska_sdp_tpu.kernels.idg_aw_stream_pallas import block_run_ranges
 
 def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
                rs_ref, re_ref, recs_hbm, sr_ref, si_ref, f2_ref, hr_ref,
-               hi_ref, out_ref, recs_v, acc, sems, *, S, theta, theta_x,
+               hi_ref, out_ref, recs_v, acc, accT, sems, *, S, theta,
+               theta_x,
                chunk, trig, dots, blockwork, fin, use_dma=True,
                use_seg=True, bare2=False, blk_unroll=1, nowhen=False,
                nosmem=False):
@@ -278,7 +279,23 @@ def _kernel_ab(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
                 r = r0 + k
                 lo = jnp.maximum(starts_ref[r] - b * C, 0)
                 hi = jnp.minimum(ends_ref[r] - b * C, C)
-                if blockwork and dots:
+                if blockwork and dots == "swap":
+                    # swapped operand order: the per-block-constant A is
+                    # the SECOND operand — if Mosaic keeps the stationary
+                    # side there, per-segment weight reloads vanish; the
+                    # transposed accumulator (S, 2S) is finalized with
+                    # one lane-roll (legal, unlike lane-slicing at 64)
+                    m = ((lane2 >= lo) & (lane2 < hi)).astype(bf)
+                    bhm = Bh * m
+                    blm = Bl * m
+
+                    def d(x, y):
+                        return jax.lax.dot_general(
+                            x, y, dn, preferred_element_type=f32,
+                            precision=jax.lax.Precision.DEFAULT)
+
+                    accT[:] += d(bhm, Ah) + d(blm, Ah) + d(bhm, Al)
+                elif blockwork and dots:
                     m = ((lane2 >= lo) & (lane2 < hi)).astype(bf)
                     bhm = Bh * m
                     blm = Bl * m
@@ -378,6 +395,7 @@ def grid_ab(recs, starts, ends, y0, x0, ia1, ia2, grid_shape, scr_re,
         scratch_shapes=[
             pltpu.VMEM((2, 8, chunk), jnp.float32),
             pltpu.VMEM((2 * S, S), jnp.float32),
+            pltpu.VMEM((S, 2 * S), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -422,7 +440,7 @@ def main_ab():
     recs, st, en, y0, x0, i1, i2, nd, _ = prep()
     ladder = [
         ("base", dict()),
-        ("rawout", dict(rawout=True)),
+        ("dotswap", dict(dots="swap")),
         ("nofin", dict(fin=False)),
         ("nodots", dict(dots=False)),
         ("notrig", dict(trig=False)),
