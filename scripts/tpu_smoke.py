@@ -231,12 +231,12 @@ def main() -> int:
         + 1j * rng.standard_normal((4, 3, 3))).astype(np.complex64)
     scr_s = aw_screens_host(aks, 64).astype(np.complex64)
     mr_s = 8 * nbl_s + nsa // 128 + 64
-    visa = jnp.asarray((rng.standard_normal(nsa)
-                        + 1j * rng.standard_normal(nsa)
-                        ).astype(np.complex64))
+    var = jnp.asarray(rng.standard_normal(nsa).astype(np.float32))
+    vai = jnp.asarray(rng.standard_normal(nsa).astype(np.float32))
 
     @jax.jit
-    def parity_aw_idg(p, a1, a2, w, vis, sre, sim):
+    def parity_aw_idg(p, a1, a2, w, vr, vi, sre, sim):
+        vis = jax.lax.complex(vr, vi)          # complex formed ON device
         got, nd = idg_aw_gridder_pallas(
             (hs, hs), p, a1, a2, w, vis, jax.lax.complex(sre, sim),
             theta=0.05, max_runs=mr_s)
@@ -248,7 +248,7 @@ def main() -> int:
 
     eaw, nd_g, nd_w = parity_aw_idg(
         jnp.asarray(pa), jnp.asarray(a1s), jnp.asarray(a2s),
-        jnp.asarray(wa), visa,
+        jnp.asarray(wa), var, vai,
         jnp.asarray(scr_s.real.astype(np.float32)),
         jnp.asarray(scr_s.imag.astype(np.float32)))
     good = float(eaw) < 2e-4 and int(nd_g) == int(nd_w)

@@ -229,7 +229,8 @@ def _idg_multi_pipeline(uvw, f_ref, ratios, vis_re_mc, vis_im_mc, *,
          static_argnames=("theta", "lam", "g", "subgrid", "taper_beta",
                           "max_runs", "drift_cells", "fov_pad",
                           "use_pallas", "layout", "exact_weights"))
-def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios, vis_mc, *,
+def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios,
+                           vis_re_mc, vis_im_mc, *,
                            theta, lam, g, subgrid=64, taper_beta=12.0,
                            max_runs=4096, drift_cells=0, fov_pad=None,
                            use_pallas=True, layout=None,
@@ -245,6 +246,7 @@ def _idg_aw_multi_pipeline(screens, uvw, a1, a2, f_ref, ratios, vis_mc, *,
     2·nch vis rows that would otherwise ride the sort)."""
     from ..ops.idg import fov_pad_geometry, kaiser_taper, taper_fine
 
+    vis_mc = jax.lax.complex(vis_re_mc, vis_im_mc)
     n_t, n_grid, theta_g, crop_lo = fov_pad_geometry(theta, lam, fov_pad)
     uvw0 = uvw_lambda(f_ref, uvw)
     wts = _weights_multi(theta, lam, uvw0, ratios,
@@ -504,26 +506,41 @@ def aw_idg_gridding_multi(
     n = n if n is not None else data.vis.shape[0]
     nch = min(channels, data.frequencies.shape[0])
     freqs = np.asarray(data.frequencies[:nch], np.float64)
-    vis_mc = np.ascontiguousarray(
-        data.vis_chan[:n, :nch].T.astype(prec.np_complex))
-    a1 = np.asarray(data.antenna1[:n], np.int64)
-    a2 = np.asarray(data.antenna2[:n], np.int64)
-    nant_b = int(max(a1.max(initial=0), a2.max(initial=0))) + 2
-    npair = len(np.unique(a1 * nant_b + a2))
+    with timer.phase("host/prep"):
+        vis_mc = np.ascontiguousarray(
+            data.vis_chan[:n, :nch].T.astype(prec.np_complex))
+        a1 = np.asarray(data.antenna1[:n], np.int64)
+        a2 = np.asarray(data.antenna2[:n], np.int64)
+        nant_b = int(max(a1.max(initial=0), a2.max(initial=0))) + 2
+        npair = len(np.unique(a1 * nant_b + a2))
 
-    n_t, n_grid, _, _ = fov_pad_geometry(theta, lam, fov_pad)
-    fov_scale = n_grid / n_t
-    from .dataset import _detect_time_major_layout
+        n_t, n_grid, _, _ = fov_pad_geometry(theta, lam, fov_pad)
+        fov_scale = n_grid / n_t
+        from .dataset import _detect_time_major_layout
 
-    layout = _detect_time_major_layout(a1, a2, data.time, n)
-    ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam, n_grid)
-    margin_full = subgrid // 2 - 15 // 2 - 12
-    # allow up to half the taper margin as drift; tiles shrink to match
-    groups = plan_channel_groups(freqs, ext, max(margin_full // 2, 1))
+        layout = _detect_time_major_layout(a1, a2, data.time, n)
+        ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam,
+                              n_grid)
+        margin_full = subgrid // 2 - 15 // 2 - 12
+        # up to half the taper margin as drift; tiles shrink to match
+        groups = plan_channel_groups(freqs, ext, max(margin_full // 2, 1))
 
     cube = np.zeros((nch, n_t, n_t), prec.np_real)
     drops = np.zeros((nch,), np.int64)
-    with timer.phase("h2d+compile+grid+fft"):
+    # explicit h2d staging + device-phase split: same contract as
+    # idg_gridding_multi (the dev tunnel's MB/s-scale bandwidth would
+    # otherwise hide the compute phase inside one opaque wall time)
+    import jax as _jax
+
+    with timer.phase("h2d/vis+uvw"):
+        uvw_d = _jax.device_put(np.asarray(data.uvw[:n], prec.np_real))
+        a1_d = _jax.device_put(a1.astype(np.int32))
+        a2_d = _jax.device_put(a2.astype(np.int32))
+        vr_d = _jax.device_put(np.ascontiguousarray(vis_mc.real))
+        vi_d = _jax.device_put(np.ascontiguousarray(vis_mc.imag))
+        _jax.block_until_ready((uvw_d, a1_d, a2_d, vr_d, vi_d))
+    with timer.phase("compile+grid+fft"):
+        imgs = []
         for (i, j, f_ref, drift) in groups:
             with timer.phase("ingest/akern"):
                 akerns = get_akernels(afile, theta, float(data.time[0]),
@@ -538,17 +555,19 @@ def aw_idg_gridding_multi(
                              // max(2 * (margin_full - drift) - 2, 2))
             max_runs = 8 * npair * tile_scale + n // 128 + 64
             img, nd = _idg_aw_multi_pipeline(
-                screens,
-                np.asarray(data.uvw[:n], prec.np_real),
-                a1.astype(np.int32), a2.astype(np.int32),
+                screens, uvw_d, a1_d, a2_d,
                 np.asarray(f_ref, prec.np_real),
-                ratios, vis_mc[i:j],
+                ratios, vr_d[i:j], vi_d[i:j],
                 theta=theta, lam=lam, g=j - i, subgrid=subgrid,
                 taper_beta=taper_beta, max_runs=max_runs,
                 drift_cells=drift, fov_pad=fov_pad,
                 use_pallas=_use_pallas(), layout=layout,
                 exact_weights=_exact_weights(),
             )
+            imgs.append((i, j, img, nd))
+        _jax.block_until_ready([im for (_, _, im, _) in imgs])
+    with timer.phase("d2h/cube"):
+        for (i, j, img, nd) in imgs:
             cube[i:j] = np.asarray(img)
             drops[i:j] = np.asarray(nd)
     _surface_drops(drops, n, timer)
