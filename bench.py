@@ -668,6 +668,60 @@ def main() -> None:
     _progress("metric 10/10: 4800^2 large grid")
     large_grid_rate = _best_effort("large_grid", _large_grid)
 
+    # 7b. the same >VMEM grid through the BANDED streamed IDG-AW path
+    # (K row bands each VMEM-resident, one streamed pass per band)
+    def _large_grid_banded():
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            idg_aw_grid_banded)
+        from ska_sdp_tpu.ops.idg_aw import aw_screens_host
+
+        theta_lg = 0.016
+        n_lg = int(round(theta_lg * LAM))
+        rngB = np.random.default_rng(11)
+        ii, jj = np.triu_indices(NANT, k=1)
+        nbl = ii.shape[0]
+        ntime = 520
+        u0 = rngB.uniform(-0.40, 0.40, (nbl, 2))
+        du = rngB.uniform(-30.0 / n_lg, 30.0 / n_lg, (nbl, 2))
+        ft = (np.arange(ntime) / ntime)[:, None]
+        ub = u0[None, :, 0] + du[None, :, 0] * ft
+        vb = u0[None, :, 1] + du[None, :, 1] * ft
+        nB = ub.size
+        pB = np.zeros((nB, 3), np.float32)
+        pB[:, 0] = ub.ravel()
+        pB[:, 1] = vb.ravel()
+        wB = rngB.uniform(-3800, 3800, nB).astype(np.float32)
+        a1B = np.broadcast_to(ii[None, :], ub.shape).ravel()
+        a2B = np.broadcast_to(jj[None, :], ub.shape).ravel()
+        s_ak = 15
+        akB = np.zeros((NANT, s_ak, s_ak), np.complex64)
+        akB[:, s_ak // 2, s_ak // 2] = 1.0
+        scrB = aw_screens_host(akB, 64).astype(np.complex64)
+        mrB = 8 * nbl * 2 + nB // 128 + 64
+
+        @jax.jit
+        def lg_aw_step(p_j, w_j, a1_j, a2_j, vr, vi, sre, sim, salt):
+            gr, gi, nd = idg_aw_grid_banded(
+                (n_lg, n_lg), p_j, a1_j, a2_j, w_j, vr, vi + salt, sre,
+                sim, theta=theta_lg, max_runs=mrB)
+            return (jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
+                    + jnp.where(nd > 0, jnp.float32(jnp.nan), 0.0))
+
+        return _rate(
+            lg_aw_step,
+            (jnp.asarray(pB), jnp.asarray(wB),
+             jnp.asarray(a1B, jnp.int32), jnp.asarray(a2B, jnp.int32),
+             jnp.asarray(rngB.standard_normal(nB).astype(np.float32)),
+             jnp.asarray(rngB.standard_normal(nB).astype(np.float32)),
+             jnp.asarray(scrB.real.astype(np.float32)),
+             jnp.asarray(scrB.imag.astype(np.float32))),
+            nB, k=3,
+        )
+
+    _progress("metric 10b: 4800^2 banded IDG-AW")
+    large_banded_rate = _best_effort("large_grid_banded",
+                                     _large_grid_banded)
+
     print(
         json.dumps(
             {
@@ -754,6 +808,12 @@ def main() -> None:
                         "value": round(large_grid_rate, 1),
                         "unit": "vis/s",
                         **_util(large_grid_rate, "wproj"),
+                    },
+                    {
+                        "metric": "IDG-AW at 4800^2 (>VMEM grid, BANDED streamed path: K VMEM-resident row bands, drops poison the checksum)",
+                        "value": round(large_banded_rate, 1),
+                        "unit": "vis/s",
+                        **_util(large_banded_rate, "idg"),
                     },
                     {
                         "metric": "IDG accuracy vs direct-DFT truth (rel err, central 75% FOV; see idg_fov_pad_plan for the full-FOV option)",

@@ -580,10 +580,47 @@ def main_degrid():
                (gre, gim, pj, wj, a1j, a2j, sre, sim), n)
 
 
+def main_banded():
+    """4800^2-class >VMEM grid through the banded streamed path."""
+    print("devices:", jax.devices(), flush=True)
+    from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+        _banded_geometry, idg_aw_grid_banded)
+    from ska_sdp_tpu.kernels.idg_aw_pallas import IDG_AW_VMEM_BUDGET
+
+    theta_lg = 0.016
+    N_lg = int(round(theta_lg * LAM))
+    rng = np.random.default_rng(11)
+    p, w, a1, a2, vr, vi, nbl, n = track_data(rng)
+    max_runs = 8 * nbl * 2 + n // 128 + 64
+    print("geometry:", _banded_geometry(N_lg, N_lg, 64,
+                                        IDG_AW_VMEM_BUDGET), flush=True)
+
+    s = 15
+    ak = np.zeros((NANT, s, s), np.complex64)
+    ak[:, s // 2, s // 2] = 1.0
+    scr = aw_screens_host(ak, 64).astype(np.complex64)
+    sre = jnp.asarray(scr.real.astype(np.float32))
+    sim = jnp.asarray(scr.imag.astype(np.float32))
+
+    @jax.jit
+    def step(p_j, w_j, a1_j, a2_j, vr_j, vi_j, sre, sim, salt):
+        gr, gi, nd = idg_aw_grid_banded(
+            (N_lg, N_lg), p_j, a1_j, a2_j, w_j, vr_j, vi_j + salt, sre,
+            sim, theta=theta_lg, max_runs=max_runs)
+        return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi)) + 0.0 * nd
+
+    timeit("banded 4800^2", step,
+           (jnp.asarray(p), jnp.asarray(w), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(vr), jnp.asarray(vi), sre, sim),
+           n)
+
+
 if __name__ == "__main__":
     if "ab" in sys.argv[1:]:
         main_ab()
     elif "degrid" in sys.argv[1:]:
         main_degrid()
+    elif "banded" in sys.argv[1:]:
+        main_banded()
     else:
         main()

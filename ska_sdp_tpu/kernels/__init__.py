@@ -361,6 +361,19 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin, ordered=ordered,
             )
+        if subgrid == 64:
+            # >VMEM grids: the BANDED streamed path (round 4) — K row
+            # bands each resident in VMEM, one streamed pass per band
+            # over the shared record stream, overlap-added.  This is a
+            # Pallas fast path, not a fallback (the XLA oracle remains
+            # the non-64-subgrid route).
+            from .idg_aw_stream_pallas import idg_aw_gridder_banded
+
+            return idg_aw_gridder_banded(
+                grid_shape, p, a1, a2, w, vis, screens, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=max_runs, fit_margin=fit_margin,
+            )
         _note_fallback("idg_aw_gridder", reason)
     return idg_grid_aw(
         grid_shape, p, a1, a2, w, vis, screens, theta=theta,

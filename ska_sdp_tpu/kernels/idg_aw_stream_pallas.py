@@ -628,3 +628,213 @@ def idg_aw_degridder_stream(grid_shape, p, a1, a2, w, grid, screens, *,
         chunk=chunk, interpret=interpret,
     )
     return jax.lax.complex(v_re, v_im), nd
+
+
+# ---------------------------------------------------------------------------
+# Banded streamed gridding for >VMEM grids (e.g. 4800²-class)
+# ---------------------------------------------------------------------------
+
+
+def _banded_geometry(N: int, Nx: int, S: int, vmem_budget: int):
+    """Split the padded accumulator into K row bands that fit VMEM.
+
+    Band k owns runs with ``y0 // Hb == k`` and accumulates rows
+    [k·Hb, k·Hb + Hb + S + 8) — a run's placement window (S+8 rows from
+    y0 ≤ k·Hb + Hb − 1) always fits, and the trailing S+8 rows overlap-
+    add into band k+1's range on assembly.  Returns (HP, WP2, K, Hb,
+    band_rows)."""
+    HP, WP2 = _geometry(N, Nx, S)
+    budget_rows = max((vmem_budget // 2) // (WP2 * 4), 256)
+    K = max(1, -(-HP // budget_rows))
+    Hb = -(-HP // K)
+    Hb = ((Hb + 7) // 8) * 8
+    band_rows = ((Hb + S + 8 + 7) // 8) * 8
+    return HP, WP2, K, Hb, band_rows
+
+
+def idg_aw_run_records_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
+                              n_bands: int, band_rows_hb: int,
+                              subgrid: int = 64, chunk: int = CHUNK,
+                              support: int = 15, max_runs: int = 4096,
+                              fit_margin: int = 0):
+    """(band, pair, uv-tile) run sort for banded >VMEM gridding.
+
+    The band id (the run's ``y0 // Hb``) folds into the pair key as the
+    OUTER component (band·2²² + a1·2¹⁵ + a2 < 2³⁰ for ≤128 bands and the
+    ≤2¹⁵ antenna envelope of ``_record_keys``; unfit records keep the
+    2³⁰ sentinel, which still sorts past every banded key), so ONE
+    2-key sort groups runs band-major and each band's runs and records
+    stay contiguous.  Returns the ``idg_aw_run_records`` tuple plus
+    per-band contiguous run ranges ``r_lo/r_hi [n_bands]`` (y0 is
+    already band-LOCAL)."""
+    from ..ops.idg_aw import _record_keys
+
+    (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
+     HP, WP) = _record_keys(grid_shape, p, a1, a2, subgrid, support,
+                            fit_margin)
+    S = subgrid
+    n = p.shape[0]
+    f32 = jnp.float32
+    use = valid & fit
+    vr = jnp.where(use, vis_re, 0.0).astype(f32)
+    vi = jnp.where(use, vis_im, 0.0).astype(f32)
+
+    # per-record band of the record's RUN (pure function of the tile)
+    ty = tkey // ntx_t
+    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
+    band = jnp.minimum(y0r // band_rows_hb, n_bands - 1)
+    pkey_b = jnp.where(pkey < jnp.int32(2**30),
+                       band * jnp.int32(2**22) + pkey, pkey)
+
+    pk_s, tk_s, dy_s, dx_s, w_s, vr_s, vi_s = jax.lax.sort(
+        [pkey_b, tkey, dy, dx, w.astype(f32), vr, vi],
+        num_keys=2, is_stable=True,
+    )
+
+    from .idg_aw_pallas import _align, _run_csr
+
+    # CSR over the banded keys.  _run_csr decodes ia1 = key // 2^15 =
+    # band·2^7 + a1; the band is recovered from the run's GLOBAL y0
+    # (the same pure tile function the per-record assignment used), so
+    # the a1 decode stays exact for the full 2^15 antenna envelope.
+    starts_ext, starts, ends, y0, x0, ia1_raw, ia2, overflow = _run_csr(
+        pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HP, WP
+    )
+    band_of_run = jnp.minimum(y0 // band_rows_hb, n_bands - 1)
+    ia1 = ia1_raw - band_of_run * jnp.int32(2**7)
+    y0_local = jnp.maximum(y0 - band_of_run * band_rows_hb, 0)
+
+    # per-band contiguous run ranges: active banded runs sort
+    # band-major, then sentinel runs (key 2^30 ⇒ decoded ia1_raw ≥ 2^15)
+    # and empty CSR tail entries — both pushed past every band
+    sent = ia1_raw >= jnp.int32(2**15)
+    band_m = jnp.where((ends > starts) & ~sent, band_of_run,
+                       jnp.int32(n_bands))
+    karange = jnp.arange(n_bands, dtype=jnp.int32)
+    r_lo = jnp.searchsorted(band_m, karange, side="left"
+                            ).astype(jnp.int32)
+    r_hi = jnp.searchsorted(band_m, karange, side="right"
+                            ).astype(jnp.int32)
+
+    placeable_s = pk_s < jnp.int32(2**30)
+    n_dropped = (jnp.sum(valid & ~fit)
+                 + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
+
+    n_pad = _align(max(n, 1), chunk)
+    zero = jnp.zeros((n_pad - n,), f32)
+    rows = [jnp.concatenate([r, zero]) for r in
+            (dy_s, dx_s, w_s, vr_s, vi_s)]
+    rows += [jnp.zeros((n_pad,), f32)] * 3
+    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
+                                   ).transpose(1, 0, 2)
+    return (recs, starts, ends, y0_local, x0, ia1, ia2, r_lo, r_hi,
+            n_dropped, (HP, WP))
+
+
+def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
+                       scr_im, *, theta: float, subgrid: int = 64,
+                       support: int = 15, taper_beta: float = 12.0,
+                       max_runs: int = 8192, fit_margin: int = 0,
+                       chunk: int = CHUNK, interpret: bool = False):
+    """Streamed IDG-AW gridding for grids whose padded accumulator does
+    NOT fit VMEM: K row bands, one streamed-kernel pass per band over
+    the shared record stream (out-of-band runs emptied per pass — their
+    blocks are skipped after the DMA), overlap-added host-side.
+    Returns (grid_re, grid_im, n_dropped).  Same operator as the
+    resident path; ``tests/test_idg.py`` asserts parity."""
+    N, Nx = grid_shape
+    S = subgrid
+    tier = _tier()
+    HP, WP2, K, Hb, band_rows = _banded_geometry(
+        N, Nx, S, IDG_AW_VMEM_BUDGET)
+
+    (recs, starts, ends, y0_loc, x0, ia1, ia2, r_lo, r_hi, n_dropped,
+     _hw) = idg_aw_run_records_banded(
+        grid_shape, p, a1, a2, w, vis_re, vis_im, n_bands=K,
+        band_rows_hb=Hb, subgrid=S, chunk=chunk, support=support,
+        max_runs=max_runs, fit_margin=fit_margin,
+    )
+
+    k_arr = np.arange(S, dtype=np.float64) - S // 2
+    F = np.exp(-2j * np.pi * np.outer(k_arr, k_arr) / S) / S
+    if taper_beta > 0:
+        x_ = k_arr / (S / 2)
+        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
+        F = F * (t1 / np.i0(taper_beta))[None, :]
+    Hr = np.zeros((S, 2 * S))
+    Hi = np.zeros((S, 2 * S))
+    Hr[:, 0::2] = F.real.T
+    Hr[:, 1::2] = F.imag.T
+    Hi[:, 0::2] = -F.imag.T
+    Hi[:, 1::2] = F.real.T
+    F2 = np.block([[F.real, -F.imag], [F.imag, F.real]])
+
+    n_pad = recs.shape[0] * chunk
+    # full-CSR block ranges once; each band clamps to its contiguous
+    # run range (where-masking instead would break the searchsorted
+    # monotonicity block_run_ranges relies on)
+    rs_full, re_full = block_run_ranges(starts, ends, n_pad, chunk)
+    full = jnp.zeros((HP, WP2), jnp.float32)
+    for kb in range(K):
+        rs = jnp.clip(rs_full, r_lo[kb], r_hi[kb])
+        re = jnp.clip(re_full, r_lo[kb], r_hi[kb])
+        st_k, en_k = starts, ends
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, chunk), jnp.float32),
+                pltpu.VMEM((2 * S, S), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        band_out = pl.pallas_call(
+            functools.partial(_kernel, S=S, theta=theta,
+                              theta_x=theta * Nx / N, chunk=chunk,
+                              tier=tier),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((band_rows, WP2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(st_k, en_k, y0_loc, x0, ia1, ia2, rs, re, recs,
+          scr_re.astype(jnp.float32), scr_im.astype(jnp.float32),
+          jnp.asarray(F2, jnp.float32),
+          jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32))
+        lo = kb * Hb
+        rows_here = min(band_rows, HP - lo)
+        full = jax.lax.dynamic_update_slice(
+            full,
+            jax.lax.dynamic_slice(full, (lo, 0), (rows_here, WP2))
+            + band_out[:rows_here, :],
+            (lo, 0),
+        )
+
+    PADM = S
+    g = full[PADM:PADM + N, 2 * PADM:2 * PADM + 2 * Nx]
+    return g[:, 0::2], g[:, 1::2], n_dropped
+
+
+def idg_aw_gridder_banded(grid_shape, p, a1, a2, w, vis, screens, *,
+                          theta: float, subgrid: int = 64,
+                          support: int = 15, taper_beta: float = 12.0,
+                          max_runs: int = 8192, fit_margin: int = 0,
+                          chunk: int = CHUNK, interpret: bool = False):
+    """Complex wrapper for the banded >VMEM path, matching
+    ``ops.idg_aw.idg_grid_aw``'s signature; returns (guv, n_dropped)."""
+    g_re, g_im, nd = idg_aw_grid_banded(
+        grid_shape, p, a1, a2, w,
+        jnp.real(vis).astype(jnp.float32),
+        jnp.imag(vis).astype(jnp.float32),
+        jnp.real(screens).astype(jnp.float32),
+        jnp.imag(screens).astype(jnp.float32),
+        theta=theta, subgrid=subgrid, support=support,
+        taper_beta=taper_beta, max_runs=max_runs, fit_margin=fit_margin,
+        chunk=chunk, interpret=interpret,
+    )
+    return jax.lax.complex(g_re, g_im), nd

@@ -1335,3 +1335,48 @@ class TestIDGAWDegridStream:
         d = (np.linalg.norm(np.asarray(v_st) - np.asarray(v_or))
              / np.linalg.norm(np.asarray(v_or)))
         assert d < 5e-5, d
+
+
+class TestIDGAWBanded:
+    """Banded streamed gridding for >VMEM grids: K row bands, one
+    streamed pass per band over the shared (band, pair, tile)-sorted
+    stream, overlap-added.  Forced small bands via a monkeypatched VMEM
+    budget so the multi-band machinery runs at test scale."""
+
+    def test_banded_matches_oracle(self, rng, monkeypatch):
+        import ska_sdp_tpu.kernels.idg_aw_stream_pallas as SP
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        nant = 5
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        mr = 8 * nbl * 4 + p.shape[0] // 128 + 64
+
+        orig = SP._banded_geometry
+        monkeypatch.setattr(
+            SP, "_banded_geometry",
+            lambda N_, Nx, S_, bud: orig(N_, Nx, S_, 1024 * 1024))
+        HP, WP2, K, Hb, br = SP._banded_geometry(N, N, SA, 0)
+        assert K >= 2            # the test must exercise multiple bands
+
+        got, nd = SP.idg_aw_gridder_banded(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+            jnp.asarray(vis, jnp.complex64), scr, theta=THETA,
+            subgrid=SA, max_runs=mr, interpret=True)
+        want, ndw = idg_grid_aw(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+            jnp.asarray(vis, jnp.complex64), scr, theta=THETA,
+            subgrid=SA, max_runs=mr)
+        assert int(nd) == int(ndw) == 0
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, d
