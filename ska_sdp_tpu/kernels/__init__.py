@@ -414,6 +414,16 @@ def idg_aw_degridder(grid_shape, p, a1, a2, w, grid, screens, *,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin,
             )
+        if subgrid == 64:
+            # >VMEM grids: banded streamed degrid (grid bands load as
+            # VMEM inputs per pass) — Pallas fast path, not a fallback
+            from .idg_aw_stream_pallas import idg_aw_degridder_banded
+
+            return idg_aw_degridder_banded(
+                grid_shape, p, a1, a2, w, grid, screens, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=max_runs, fit_margin=fit_margin,
+            )
         _note_fallback("idg_aw_degridder", reason)
     return idg_degrid_aw(
         grid_shape, p, a1, a2, w, grid, screens, theta=theta,

@@ -467,41 +467,49 @@ def _degrid_kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
         r0 = rs_ref[b]
         r1 = re_ref[b]
 
-        dy = recs_v[slot, 0:1, :]
-        dx = recs_v[slot, 1:2, :]
-        w = recs_v[slot, 2:3, :]
-        ph_y = two_pi_s * cq * dy - pi_ * lq2y * w         # (S, C)
-        ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
-        ey_re = jnp.cos(ph_y)
-        ey_im = jnp.sin(ph_y)
-        ex_re = jnp.cos(ph_x)
-        ex_im = jnp.sin(ph_x)
+        def block_work():
+            dy = recs_v[slot, 0:1, :]
+            dx = recs_v[slot, 1:2, :]
+            w = recs_v[slot, 2:3, :]
+            ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, C)
+            ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
+            ey_re = jnp.cos(ph_y)
+            ey_im = jnp.sin(ph_y)
+            ex_re = jnp.cos(ph_x)
+            ex_im = jnp.sin(ph_x)
 
-        def seg_body(k, rows):
-            rows_re, rows_im = rows
-            r = r0 + k
+            def seg_body(k, rows):
+                rows_re, rows_im = rows
+                r = r0 + k
 
-            @pl.when(starts_ref[r] >= b * C)               # run starts here
-            def _():
-                prologue(r)
+                @pl.when(starts_ref[r] >= b * C)           # run starts here
+                def _():
+                    prologue(r)
 
-            acc2 = acc[:]                                  # (2S, S)
-            t1 = dgr(acc2, ex_re)                          # (2S, C)
-            t2 = dgr(acc2, ex_im)
-            t_re = t1[0:S, :] + t2[S:2 * S, :]
-            t_im = t1[S:2 * S, :] - t2[0:S, :]
-            v_re = jnp.sum(ey_re * t_re + ey_im * t_im, axis=0,
-                           keepdims=True)
-            v_im = jnp.sum(ey_re * t_im - ey_im * t_re, axis=0,
-                           keepdims=True)
-            lo = jnp.maximum(starts_ref[r] - b * C, 0)
-            hi = jnp.minimum(ends_ref[r] - b * C, C)
-            m = ((lane >= lo) & (lane < hi)).astype(f32)
-            return (rows_re + v_re * m, rows_im + v_im * m)
+                acc2 = acc[:]                              # (2S, S)
+                t1 = dgr(acc2, ex_re)                      # (2S, C)
+                t2 = dgr(acc2, ex_im)
+                t_re = t1[0:S, :] + t2[S:2 * S, :]
+                t_im = t1[S:2 * S, :] - t2[0:S, :]
+                v_re = jnp.sum(ey_re * t_re + ey_im * t_im, axis=0,
+                               keepdims=True)
+                v_im = jnp.sum(ey_re * t_im - ey_im * t_re, axis=0,
+                               keepdims=True)
+                lo = jnp.maximum(starts_ref[r] - b * C, 0)
+                hi = jnp.minimum(ends_ref[r] - b * C, C)
+                m = ((lane >= lo) & (lane < hi)).astype(f32)
+                return (rows_re + v_re * m, rows_im + v_im * m)
 
+            z0 = jnp.zeros((1, C), f32)
+            return jax.lax.fori_loop(0, r1 - r0, seg_body, (z0, z0),
+                                     unroll=False)
+
+        # blocks with no runs (pad tail; out-of-band blocks on the
+        # banded path, which would otherwise pay K× redundant trig)
+        # emit zero rows without touching the phase pipeline
         z = jnp.zeros((1, C), f32)
-        rows_re, rows_im = jax.lax.fori_loop(0, r1 - r0, seg_body, (z, z),
-                                             unroll=False)
+        rows_re, rows_im = jax.lax.cond(r1 > r0, block_work,
+                                        lambda: (z, z))
         stage[slot] = jnp.concatenate(
             [rows_re, rows_im] + [jnp.zeros((6, C), f32)], axis=0)
         pltpu.make_async_copy(
@@ -838,3 +846,150 @@ def idg_aw_gridder_banded(grid_shape, p, a1, a2, w, vis, screens, *,
         chunk=chunk, interpret=interpret,
     )
     return jax.lax.complex(g_re, g_im), nd
+
+
+def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
+                         scr_re, scr_im, *, theta: float,
+                         subgrid: int = 64, support: int = 15,
+                         taper_beta: float = 12.0, max_runs: int = 8192,
+                         fit_margin: int = 0, chunk: int = CHUNK,
+                         interpret: bool = False):
+    """Banded streamed DEgridding for >VMEM grids: the padded planar
+    grid stays in HBM; band k's rows load into VMEM as the kernel input
+    and one streamed pass serves the band's runs (out-of-band blocks
+    produce zero rows); the K per-block outputs sum elementwise.
+    Returns (vis_re, vis_im, n_dropped)."""
+    N, Nx = grid_shape
+    S = subgrid
+    n = p.shape[0]
+    tier = _tier()
+    HP, WP2, K, Hb, band_rows = _banded_geometry(
+        N, Nx, S, IDG_AW_VMEM_BUDGET)
+
+    # degrid twin of the banded prep: same banded sort, but the ORIGINAL
+    # index rides the sort for the epilogue unsort
+    from ..ops.idg_aw import _record_keys
+    from .idg_aw_pallas import _align, _run_csr
+
+    (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
+     HPk, WPk) = _record_keys(grid_shape, p, a1, a2, S, support,
+                              fit_margin)
+    f32 = jnp.float32
+    ty = tkey // ntx_t
+    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HPk - S)
+    band = jnp.minimum(y0r // Hb, K - 1)
+    pkey_b = jnp.where(pkey < jnp.int32(2**30),
+                       band * jnp.int32(2**22) + pkey, pkey)
+    pk_s, tk_s, dy_s, dx_s, w_s, order_s = jax.lax.sort(
+        [pkey_b, tkey, dy, dx, w.astype(f32),
+         jnp.arange(n, dtype=jnp.int32)],
+        num_keys=2, is_stable=True,
+    )
+    starts_ext, starts, ends, y0, x0, ia1_raw, ia2, overflow = _run_csr(
+        pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HPk, WPk
+    )
+    band_of_run = jnp.minimum(y0 // Hb, K - 1)
+    ia1 = ia1_raw - band_of_run * jnp.int32(2**7)
+    y0_loc = jnp.maximum(y0 - band_of_run * Hb, 0)
+    sent = ia1_raw >= jnp.int32(2**15)
+    band_m = jnp.where((ends > starts) & ~sent, band_of_run,
+                       jnp.int32(K))
+    karange = jnp.arange(K, dtype=jnp.int32)
+    r_lo = jnp.searchsorted(band_m, karange, side="left"
+                            ).astype(jnp.int32)
+    r_hi = jnp.searchsorted(band_m, karange, side="right"
+                            ).astype(jnp.int32)
+    placeable_s = pk_s < jnp.int32(2**30)
+    n_dropped = (jnp.sum(valid & ~fit)
+                 + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
+    use = valid & fit
+
+    n_pad = _align(max(n, 1), chunk)
+    zero = jnp.zeros((n_pad - n,), f32)
+    rows = [jnp.concatenate([r, zero]) for r in (dy_s, dx_s, w_s)]
+    rows += [jnp.zeros((n_pad,), f32)] * 5
+    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
+                                   ).transpose(1, 0, 2)
+    nblk = recs.shape[0]
+
+    # padded planar grid in HBM; bands slice rows on demand
+    inter = jnp.stack([grid_re.astype(f32), grid_im.astype(f32)],
+                      axis=-1).reshape(N, 2 * Nx)
+    PADM = S
+    gp = jnp.zeros((HP + band_rows, WP2), f32)    # slop so slices fit
+    gp = jax.lax.dynamic_update_slice(gp, inter, (PADM, 2 * PADM))
+
+    k_arr = np.arange(S, dtype=np.float64) - S // 2
+    F = np.exp(-2j * np.pi * np.outer(k_arr, k_arr) / S) / S
+    if taper_beta > 0:
+        x_ = k_arr / (S / 2)
+        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
+        F = F * (t1 / np.i0(taper_beta))[None, :]
+    Pe = np.zeros((2 * S, S), np.float32)
+    Po = np.zeros((2 * S, S), np.float32)
+    Pe[0::2, :] = np.eye(S, dtype=np.float32)
+    Po[1::2, :] = np.eye(S, dtype=np.float32)
+
+    rs_full, re_full = block_run_ranges(starts, ends, n_pad, chunk)
+    total = jnp.zeros((nblk, 8, chunk), f32)
+    for kb in range(K):
+        rs = jnp.clip(rs_full, r_lo[kb], r_hi[kb])
+        re = jnp.clip(re_full, r_lo[kb], r_hi[kb])
+        gband = jax.lax.dynamic_slice(gp, (kb * Hb, 0),
+                                      (band_rows, WP2))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, chunk), jnp.float32),
+                pltpu.VMEM((2, 8, chunk), jnp.float32),
+                pltpu.VMEM((2 * S, S), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        )
+        part = pl.pallas_call(
+            functools.partial(_degrid_kernel, S=S, theta=theta,
+                              theta_x=theta * Nx / N, chunk=chunk,
+                              tier=tier),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nblk, 8, chunk), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(starts, ends, y0_loc, x0, ia1, ia2, rs, re, recs, gband,
+          scr_re.astype(f32), scr_im.astype(f32),
+          jnp.asarray(F.real, f32), jnp.asarray(F.imag, f32),
+          jnp.asarray(Pe), jnp.asarray(Po))
+        total = total + part
+
+    flat = total[:, 0:2, :].transpose(0, 2, 1).reshape(-1, 2)
+    re_s = flat[:n, 0]
+    im_s = flat[:n, 1]
+    _, re_u, im_u = jax.lax.sort([order_s, re_s, im_s], num_keys=1)
+    usef = use.astype(f32)
+    return re_u * usef, im_u * usef, n_dropped
+
+
+def idg_aw_degridder_banded(grid_shape, p, a1, a2, w, grid, screens, *,
+                            theta: float, subgrid: int = 64,
+                            support: int = 15, taper_beta: float = 12.0,
+                            max_runs: int = 8192, fit_margin: int = 0,
+                            chunk: int = CHUNK, interpret: bool = False):
+    """Complex wrapper for banded >VMEM degridding; returns
+    (vis, n_dropped)."""
+    v_re, v_im, nd = idg_aw_degrid_banded(
+        grid_shape, p, a1, a2, w,
+        jnp.real(grid).astype(jnp.float32),
+        jnp.imag(grid).astype(jnp.float32),
+        jnp.real(screens).astype(jnp.float32),
+        jnp.imag(screens).astype(jnp.float32),
+        theta=theta, subgrid=subgrid, support=support,
+        taper_beta=taper_beta, max_runs=max_runs, fit_margin=fit_margin,
+        chunk=chunk, interpret=interpret,
+    )
+    return jax.lax.complex(v_re, v_im), nd

@@ -1380,3 +1380,43 @@ class TestIDGAWBanded:
         d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
              / np.linalg.norm(np.asarray(want)))
         assert d < 5e-5, d
+
+
+class TestIDGAWBandedDegrid:
+    def test_banded_degrid_matches_oracle(self, rng, monkeypatch):
+        import ska_sdp_tpu.kernels.idg_aw_stream_pallas as SP
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_degrid_aw
+
+        p, w, a1, a2, _vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        nant = 5
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 2:c + 3, c - 2:c + 3] += 0.1 * (
+            rng.standard_normal((nant, 5, 5))
+            + 1j * rng.standard_normal((nant, 5, 5))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        grid = (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        mr = 8 * nbl * 4 + p.shape[0] // 128 + 64
+
+        orig = SP._banded_geometry
+        monkeypatch.setattr(
+            SP, "_banded_geometry",
+            lambda N_, Nx, S_, bud: orig(N_, Nx, S_, 1024 * 1024))
+        assert SP._banded_geometry(N, N, SA, 0)[2] >= 2
+
+        got, nd = SP.idg_aw_degridder_banded(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+            jnp.asarray(grid), scr, theta=THETA, subgrid=SA,
+            max_runs=mr, interpret=True)
+        want, ndw = idg_degrid_aw(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+            jnp.asarray(grid), scr, theta=THETA, subgrid=SA, max_runs=mr)
+        assert int(nd) == int(ndw) == 0
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, d
