@@ -615,11 +615,44 @@ def main_banded():
            n)
 
 
+def main_banded_degrid():
+    print("devices:", jax.devices(), flush=True)
+    from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+        idg_aw_degrid_banded)
+
+    theta_lg = 0.016
+    N_lg = int(round(theta_lg * LAM))
+    rng = np.random.default_rng(11)
+    p, w, a1, a2, vr, vi, nbl, n = track_data(rng)
+    max_runs = 8 * nbl * 2 + n // 128 + 64
+    s = 15
+    ak = np.zeros((NANT, s, s), np.complex64)
+    ak[:, s // 2, s // 2] = 1.0
+    scr = aw_screens_host(ak, 64).astype(np.complex64)
+    sre = jnp.asarray(scr.real.astype(np.float32))
+    sim = jnp.asarray(scr.imag.astype(np.float32))
+    gre = jnp.asarray(rng.standard_normal((N_lg, N_lg)).astype(np.float32))
+    gim = jnp.asarray(rng.standard_normal((N_lg, N_lg)).astype(np.float32))
+
+    @jax.jit
+    def step(gre, gim, p_j, w_j, a1_j, a2_j, sre, sim, salt):
+        vre, vim, nd = idg_aw_degrid_banded(
+            (N_lg, N_lg), p_j, a1_j, a2_j, w_j, gre + salt, gim, sre,
+            sim, theta=theta_lg, max_runs=max_runs)
+        return jnp.sum(jnp.abs(vre)) + jnp.sum(jnp.abs(vim)) + 0.0 * nd
+
+    timeit("banded degrid 4800^2", step,
+           (gre, gim, jnp.asarray(p), jnp.asarray(w), jnp.asarray(a1),
+            jnp.asarray(a2), sre, sim), n)
+
+
 if __name__ == "__main__":
     if "ab" in sys.argv[1:]:
         main_ab()
     elif "degrid" in sys.argv[1:]:
         main_degrid()
+    elif "banded_degrid" in sys.argv[1:]:
+        main_banded_degrid()
     elif "banded" in sys.argv[1:]:
         main_banded()
     else:
