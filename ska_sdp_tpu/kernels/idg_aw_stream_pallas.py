@@ -195,7 +195,11 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
 
             # stacked complex operands, built ONCE per block: the four
             # real dots of the complex outer-product sum collapse into
-            # one (2S,2C)×(S,2C) lane contraction
+            # one lane contraction; TWO segments share one full-width
+            # (2S,2C)×(2S,2C) dot (sublane-stacked masked B planes —
+            # halves the dot invocations and fills all 128 MXU output
+            # columns; the right half comes back via a lane roll, since
+            # lane-slicing at offset S=64 is not lowerable)
             A = jnp.concatenate(
                 [jnp.concatenate([u_re, -u_im], axis=1),
                  jnp.concatenate([u_im, u_re], axis=1)], axis=0)
@@ -207,38 +211,58 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
                 Bh = B.astype(bf)
                 Bl = (B - Bh.astype(f32)).astype(bf)
 
-                def seg_dot(lo, hi):
-                    m = ((lane2 >= lo) & (lane2 < hi)).astype(bf)
-                    bhm = Bh * m
-                    blm = Bl * m
+                def pair_dot(lo0, hi0, lo1, hi1):
+                    m0 = ((lane2 >= lo0) & (lane2 < hi0)).astype(bf)
+                    m1 = ((lane2 >= lo1) & (lane2 < hi1)).astype(bf)
+                    b2h = jnp.concatenate([Bh * m0, Bh * m1], axis=0)
+                    b2l = jnp.concatenate([Bl * m0, Bl * m1], axis=0)
 
                     def d(x, y):
                         return jax.lax.dot_general(
                             x, y, dn, preferred_element_type=f32,
                             precision=jax.lax.Precision.DEFAULT)
 
-                    return d(Ah, bhm) + d(Ah, blm) + d(Al, bhm)
+                    return d(Ah, b2h) + d(Ah, b2l) + d(Al, b2h)
             else:
-                def seg_dot(lo, hi):
-                    m = ((lane2 >= lo) & (lane2 < hi)).astype(f32)
+                def pair_dot(lo0, hi0, lo1, hi1):
+                    m0 = ((lane2 >= lo0) & (lane2 < hi0)).astype(f32)
+                    m1 = ((lane2 >= lo1) & (lane2 < hi1)).astype(f32)
+                    b2 = jnp.concatenate([B * m0, B * m1], axis=0)
                     return jax.lax.dot_general(
-                        A, B * m, dn, preferred_element_type=f32,
+                        A, b2, dn, preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST)
 
-            def seg_body(k, _):
-                r = r0 + k
-                lo = jnp.maximum(starts_ref[r] - b * C, 0)
-                hi = jnp.minimum(ends_ref[r] - b * C, C)
-                acc[:] += seg_dot(lo, hi)
+            def pair_body(j, _):
+                r = r0 + 2 * j
+                r1b = jnp.minimum(r + 1, r1 - 1)
+                v1 = (r + 1) < r1
+                lo0 = jnp.maximum(starts_ref[r] - b * C, 0)
+                hi0 = jnp.minimum(ends_ref[r] - b * C, C)
+                lo1 = jnp.maximum(starts_ref[r1b] - b * C, 0)
+                hi1 = jnp.where(v1,
+                                jnp.minimum(ends_ref[r1b] - b * C, C),
+                                lo1)                       # empty mask
+                d = pair_dot(lo0, hi0, lo1, hi1)           # (2S, 2S)
+                acc[:] += d[:, 0:S]
 
                 @pl.when(ends_ref[r] <= (b + 1) * C)
                 def _():
                     finalize(r)
                     acc[:] = jnp.zeros_like(acc)
 
+                @pl.when(v1)
+                def _():
+                    acc[:] += pltpu.roll(d, S, 1)[:, 0:S]
+
+                    @pl.when(ends_ref[r1b] <= (b + 1) * C)
+                    def _():
+                        finalize(r1b)
+                        acc[:] = jnp.zeros_like(acc)
+
                 return 0
 
-            jax.lax.fori_loop(0, r1 - r0, seg_body, 0, unroll=False)
+            jax.lax.fori_loop(0, (r1 - r0 + 1) // 2, pair_body, 0,
+                              unroll=False)
 
         return 0
 
