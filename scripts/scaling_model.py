@@ -33,7 +33,7 @@ DCN_BW = 2.5e10      # B/s per host NIC (200 Gbps class)
 CHIPS_PER_HOST = 4   # v5e-4 host
 WPROJ_RATE = 35.3e6  # vis/s/chip measured on the real chip (BENCH.md r4,
                      # resident-grid kernel, chain=32 dispatch timing)
-IDG_AW_RATE = 87.0e6  # vis/s/chip, streamed IDG-AW sustained (r4) — the
+IDG_AW_RATE = 92.3e6  # vis/s/chip, streamed IDG-AW sustained (r4) — the
                      # fastest path; its comm pattern is the same
                      # grid-allreduce, so the slab table below is also
                      # computed at this rate (tighter amortization bar)
