@@ -806,3 +806,17 @@ class TestResidentAW:
         assert not aw_resident_fits(4800, 4800, 64, 32, 8, 15)
         # nant=128 tables blow the budget even on a small grid
         assert not aw_resident_fits(1200, 1200, 128, 32, 8, 15)
+
+
+class TestIDGUnitRunBound:
+    """The plain-IDG unit-run dispatch gate: eligible shapes get a tile
+    bound; >VMEM or oversized-tile-count shapes return None (the
+    fixed-tile kernels keep serving them losslessly)."""
+
+    def test_bound_envelope(self):
+        from ska_sdp_tpu.kernels import _idg_unit_run_bound
+
+        mr = _idg_unit_run_bound((2400, 2400), 64, 15)
+        assert mr is not None and mr <= 24576
+        assert _idg_unit_run_bound((2400, 2400), 32, 15) is None
+        assert _idg_unit_run_bound((4800, 4800), 64, 15) is None
