@@ -327,11 +327,13 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
     """IDG-AW dispatch: image-domain antenna screens on pair-chunked
     subgrids (``ops/idg_aw.py`` documents the method + honesty contract).
 
-    TPU: the resident-grid Pallas kernel (``kernels/idg_aw_pallas``) when
-    the padded grid + screens fit VMEM; elsewhere / oversized: the XLA
-    realization (also the oracle).  Returns (guv, n_dropped) — callers
-    must surface ``n_dropped`` (records whose chunk could not cover their
-    uv spread; zero for track-like data).
+    TPU: the streamed resident-grid Pallas kernel
+    (``kernels/idg_aw_stream_pallas`` via ``idg_aw_pallas``) when the
+    padded grid + screens fit VMEM; >VMEM grids at subgrid 64 take the
+    BANDED streamed path (K VMEM-resident row bands); other shapes fall
+    back to the XLA realization (also the oracle).  Returns
+    (guv, n_dropped) — callers must surface ``n_dropped`` (records whose
+    chunk could not cover their uv spread; zero for track-like data).
 
     ``ordered=True``: the caller guarantees a pair-major record stream
     (e.g. the file's [ntime, nbl] layout transposed), letting the Pallas

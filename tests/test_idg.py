@@ -1420,3 +1420,43 @@ class TestIDGAWBandedDegrid:
         d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
              / np.linalg.norm(np.asarray(want)))
         assert d < 5e-5, d
+
+
+class TestIDGAWBandedDrops:
+    def test_banded_counts_drops_like_oracle(self, rng, monkeypatch):
+        """Scattered (non-track) pairs overflow their run chunks — the
+        banded path must COUNT them identically to the oracle, never
+        silently mishandle (the honesty contract)."""
+        import ska_sdp_tpu.kernels.idg_aw_stream_pallas as SP
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        b = 1024
+        p = np.zeros((b, 3), np.float32)
+        p[:, :2] = rng.uniform(-0.45, 0.45, (b, 2)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+        a1 = np.zeros(b, np.int32)
+        a2 = np.ones(b, np.int32)
+        s = 15
+        ak = np.zeros((2, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+
+        orig = SP._banded_geometry
+        monkeypatch.setattr(
+            SP, "_banded_geometry",
+            lambda N_, Nx, S_, bud: orig(N_, Nx, S_, 1024 * 1024))
+        got, nd = SP.idg_aw_gridder_banded(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=16, interpret=True)
+        want, ndw = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=16)
+        assert int(ndw) > 0                       # the setup must drop
+        assert int(nd) == int(ndw)
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / (np.linalg.norm(np.asarray(want)) + 1e-30))
+        assert d < 5e-5, d
