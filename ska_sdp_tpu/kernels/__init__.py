@@ -363,14 +363,16 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin, ordered=ordered,
             )
-        if subgrid == 64:
+        from .idg_aw_stream_pallas import banded_fits, idg_aw_gridder_banded
+
+        if subgrid == 64 and banded_fits(screens.shape[0], subgrid):
             # >VMEM grids: the BANDED streamed path (round 4) — K row
             # bands each resident in VMEM, one streamed pass per band
             # over the shared record stream, overlap-added.  This is a
-            # Pallas fast path, not a fallback (the XLA oracle remains
-            # the non-64-subgrid route).
-            from .idg_aw_stream_pallas import idg_aw_gridder_banded
-
+            # Pallas fast path, not a fallback (shapes non-resident
+            # because of SCREENS size, or non-64 subgrids, still take
+            # the XLA oracle below).  The banded prep always sorts, so
+            # ``ordered`` is moot here.
             return idg_aw_gridder_banded(
                 grid_shape, p, a1, a2, w, vis, screens, theta=theta,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
@@ -416,11 +418,12 @@ def idg_aw_degridder(grid_shape, p, a1, a2, w, grid, screens, *,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin,
             )
-        if subgrid == 64:
+        from .idg_aw_stream_pallas import (banded_fits,
+                                           idg_aw_degridder_banded)
+
+        if subgrid == 64 and banded_fits(screens.shape[0], subgrid):
             # >VMEM grids: banded streamed degrid (grid bands load as
             # VMEM inputs per pass) — Pallas fast path, not a fallback
-            from .idg_aw_stream_pallas import idg_aw_degridder_banded
-
             return idg_aw_degridder_banded(
                 grid_shape, p, a1, a2, w, grid, screens, theta=theta,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,

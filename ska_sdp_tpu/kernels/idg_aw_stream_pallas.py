@@ -78,6 +78,31 @@ def block_run_ranges(starts, ends, n_pad: int, chunk: int):
     return rs, re
 
 
+def _dft_factors(S: int, taper_beta: float):
+    """Host-side constant factors shared by every streamed kernel: the
+    taper-folded DFT matrix F, the lane-interleaving placement factors
+    Hr/Hi, the stacked real block form F2 = [[Fre,−Fim],[Fim,Fre]], and
+    the de-interleaving selectors Pe/Po (degrid direction)."""
+    k = np.arange(S, dtype=np.float64) - S // 2
+    F = np.exp(-2j * np.pi * np.outer(k, k) / S) / S
+    if taper_beta > 0:
+        x_ = k / (S / 2)
+        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
+        F = F * (t1 / np.i0(taper_beta))[None, :]
+    Hr = np.zeros((S, 2 * S))
+    Hi = np.zeros((S, 2 * S))
+    Hr[:, 0::2] = F.real.T
+    Hr[:, 1::2] = F.imag.T
+    Hi[:, 0::2] = -F.imag.T
+    Hi[:, 1::2] = F.real.T
+    F2 = np.block([[F.real, -F.imag], [F.imag, F.real]])
+    Pe = np.zeros((2 * S, S), np.float32)
+    Po = np.zeros((2 * S, S), np.float32)
+    Pe[0::2, :] = np.eye(S, dtype=np.float32)
+    Po[1::2, :] = np.eye(S, dtype=np.float32)
+    return F, Hr, Hi, F2, Pe, Po
+
+
 def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
             re_ref, recs_hbm, sr_ref, si_ref, f2_ref, hr_ref,
             hi_ref, out_ref, recs_v, acc, sems, *, S: int, theta: float,
@@ -285,19 +310,7 @@ def idg_aw_grid_from_records_stream(recs, starts, ends, y0, x0, ia1, ia2,
     PADM = S
     tier = _tier()
 
-    k = np.arange(S, dtype=np.float64) - S // 2
-    F = np.exp(-2j * np.pi * np.outer(k, k) / S) / S
-    if taper_beta > 0:
-        x_ = k / (S / 2)
-        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
-        F = F * (t1 / np.i0(taper_beta))[None, :]
-    Hr = np.zeros((S, 2 * S))
-    Hi = np.zeros((S, 2 * S))
-    Hr[:, 0::2] = F.real.T
-    Hr[:, 1::2] = F.imag.T
-    Hi[:, 0::2] = -F.imag.T
-    Hi[:, 1::2] = F.real.T
-    F2 = np.block([[F.real, -F.imag], [F.imag, F.real]])   # (2S, 2S)
+    _F, Hr, Hi, F2, _Pe, _Po = _dft_factors(S, taper_beta)
 
     n_pad = recs.shape[0] * chunk
     rs, re = block_run_ranges(starts, ends, n_pad, chunk)
@@ -584,16 +597,7 @@ def idg_aw_degrid_stream(grid_shape, p, a1, a2, w, grid_re, grid_im,
     gp = jnp.zeros((HP, WP2), jnp.float32)
     gp = jax.lax.dynamic_update_slice(gp, inter, (PADM, 2 * PADM))
 
-    k = np.arange(S, dtype=np.float64) - S // 2
-    F = np.exp(-2j * np.pi * np.outer(k, k) / S) / S
-    if taper_beta > 0:
-        x_ = k / (S / 2)
-        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
-        F = F * (t1 / np.i0(taper_beta))[None, :]
-    Pe = np.zeros((2 * S, S), np.float32)
-    Po = np.zeros((2 * S, S), np.float32)
-    Pe[0::2, :] = np.eye(S, dtype=np.float32)
-    Po[1::2, :] = np.eye(S, dtype=np.float32)
+    F, _Hr, _Hi, _F2, Pe, Po = _dft_factors(S, taper_beta)
 
     n_pad = nblk * chunk
     rs, re = block_run_ranges(starts, ends, n_pad, chunk)
@@ -684,62 +688,51 @@ def _banded_geometry(N: int, Nx: int, S: int, vmem_budget: int):
     return HP, WP2, K, Hb, band_rows
 
 
-def idg_aw_run_records_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
-                              n_bands: int, band_rows_hb: int,
-                              subgrid: int = 64, chunk: int = CHUNK,
-                              support: int = 15, max_runs: int = 4096,
-                              fit_margin: int = 0):
-    """(band, pair, uv-tile) run sort for banded >VMEM gridding.
+def _banded_run_prep(grid_shape, p, a1, a2, payload, *, n_bands,
+                     band_rows_hb, subgrid, chunk, support, max_runs,
+                     fit_margin):
+    """Shared (band, pair, uv-tile) run prep for the banded >VMEM paths.
 
-    The band id (the run's ``y0 // Hb``) folds into the pair key as the
-    OUTER component (band·2²² + a1·2¹⁵ + a2 < 2³⁰ for ≤128 bands and the
-    ≤2¹⁵ antenna envelope of ``_record_keys``; unfit records keep the
-    2³⁰ sentinel, which still sorts past every banded key), so ONE
-    2-key sort groups runs band-major and each band's runs and records
-    stay contiguous.  Returns the ``idg_aw_run_records`` tuple plus
-    per-band contiguous run ranges ``r_lo/r_hi [n_bands]`` (y0 is
-    already band-LOCAL)."""
+    The band id (the run's ``y0 // Hb`` — a pure function of the uv
+    tile) is its OWN leading sort key in a 3-key ``lax.sort``: folding
+    it into the pair key would alias bands once ``a1 ≥ 2⁷`` (SKA-scale
+    arrays have up to 512 stations and ``_record_keys`` admits 2¹⁵).
+    Sentinel records (OOB/unfit, pair key 2³⁰) get the virtual band
+    ``n_bands`` so they — and the empty CSR tail — sort past every real
+    band and the per-band run ranges stay searchsorted-monotone.
+
+    ``payload`` rows (w first, then caller extras) ride the sort.
+    Returns (sorted rows [dy, dx, *payload_s], starts, ends,
+    y0_local, x0, ia1, ia2, r_lo, r_hi [n_bands], n_dropped, use,
+    (HP, WP))."""
     from ..ops.idg_aw import _record_keys
+    from .idg_aw_pallas import _run_csr
 
     (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
      HP, WP) = _record_keys(grid_shape, p, a1, a2, subgrid, support,
                             fit_margin)
     S = subgrid
     n = p.shape[0]
-    f32 = jnp.float32
     use = valid & fit
-    vr = jnp.where(use, vis_re, 0.0).astype(f32)
-    vi = jnp.where(use, vis_im, 0.0).astype(f32)
 
-    # per-record band of the record's RUN (pure function of the tile)
     ty = tkey // ntx_t
     y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HP - S)
     band = jnp.minimum(y0r // band_rows_hb, n_bands - 1)
-    pkey_b = jnp.where(pkey < jnp.int32(2**30),
-                       band * jnp.int32(2**22) + pkey, pkey)
+    band = jnp.where(pkey < jnp.int32(2**30), band, jnp.int32(n_bands))
 
-    pk_s, tk_s, dy_s, dx_s, w_s, vr_s, vi_s = jax.lax.sort(
-        [pkey_b, tkey, dy, dx, w.astype(f32), vr, vi],
-        num_keys=2, is_stable=True,
-    )
+    sorted_ = jax.lax.sort([band, pkey, tkey, dy, dx] + list(payload),
+                           num_keys=3, is_stable=True)
+    pk_s, tk_s = sorted_[1], sorted_[2]
+    rows_s = sorted_[3:]                           # dy, dx, *payload
 
-    from .idg_aw_pallas import _align, _run_csr
-
-    # CSR over the banded keys.  _run_csr decodes ia1 = key // 2^15 =
-    # band·2^7 + a1; the band is recovered from the run's GLOBAL y0
-    # (the same pure tile function the per-record assignment used), so
-    # the a1 decode stays exact for the full 2^15 antenna envelope.
-    starts_ext, starts, ends, y0, x0, ia1_raw, ia2, overflow = _run_csr(
+    starts_ext, starts, ends, y0, x0, ia1, ia2, overflow = _run_csr(
         pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HP, WP
     )
     band_of_run = jnp.minimum(y0 // band_rows_hb, n_bands - 1)
-    ia1 = ia1_raw - band_of_run * jnp.int32(2**7)
     y0_local = jnp.maximum(y0 - band_of_run * band_rows_hb, 0)
 
-    # per-band contiguous run ranges: active banded runs sort
-    # band-major, then sentinel runs (key 2^30 ⇒ decoded ia1_raw ≥ 2^15)
-    # and empty CSR tail entries — both pushed past every band
-    sent = ia1_raw >= jnp.int32(2**15)
+    # per-band contiguous run ranges (sentinel runs decode ia1 = 2^15)
+    sent = ia1 >= jnp.int32(2**15)
     band_m = jnp.where((ends > starts) & ~sent, band_of_run,
                        jnp.int32(n_bands))
     karange = jnp.arange(n_bands, dtype=jnp.int32)
@@ -751,16 +744,60 @@ def idg_aw_run_records_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     placeable_s = pk_s < jnp.int32(2**30)
     n_dropped = (jnp.sum(valid & ~fit)
                  + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
+    return (rows_s, starts, ends, y0_local, x0, ia1, ia2, r_lo, r_hi,
+            n_dropped, use, (HP, WP))
 
+
+def _pack_record_rows(rows, n: int, chunk: int):
+    """Pad + pack sorted field rows into the [nblk, 8, chunk] record
+    stream layout the streamed kernels consume."""
+    from .idg_aw_pallas import _align
+
+    f32 = jnp.float32
     n_pad = _align(max(n, 1), chunk)
     zero = jnp.zeros((n_pad - n,), f32)
-    rows = [jnp.concatenate([r, zero]) for r in
-            (dy_s, dx_s, w_s, vr_s, vi_s)]
-    rows += [jnp.zeros((n_pad,), f32)] * 3
-    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
-                                   ).transpose(1, 0, 2)
-    return (recs, starts, ends, y0_local, x0, ia1, ia2, r_lo, r_hi,
-            n_dropped, (HP, WP))
+    out = [jnp.concatenate([r.astype(f32), zero]) for r in rows]
+    out += [jnp.zeros((n_pad,), f32)] * (8 - len(out))
+    return jnp.stack(out).reshape(8, n_pad // chunk, chunk
+                                  ).transpose(1, 0, 2)
+
+
+def banded_fits(nant: int, subgrid: int = 64) -> bool:
+    """Dispatch gate for the banded >VMEM paths: `_banded_geometry`
+    budgets HALF the VMEM allowance for the band accumulator, so the
+    screens (+ DFT factors + record scratch) must fit the other half —
+    a grid too big for residency because of SCREENS (not grid rows)
+    cannot be served banded and must fall back to XLA."""
+    S = subgrid
+    screens = nant * S * 128 * 4 * 2              # lane-padded planes
+    mats = 8 * S * 2 * S * 4
+    slack = 8 * 1024 * 1024
+    return screens + mats + slack <= IDG_AW_VMEM_BUDGET // 2
+
+
+def idg_aw_run_records_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
+                              n_bands: int, band_rows_hb: int,
+                              subgrid: int = 64, chunk: int = CHUNK,
+                              support: int = 15, max_runs: int = 4096,
+                              fit_margin: int = 0):
+    """Banded gridding prep (see :func:`_banded_run_prep`); returns the
+    ``idg_aw_run_records`` tuple plus per-band run ranges.
+
+    Unlike the resident prep, vis rows need NO use-mask zeroing:
+    OOB/unfit records live in sentinel-band runs that no band pass ever
+    touches, and overflow records belong to no CSR run so every segment
+    lane mask excludes them."""
+    f32 = jnp.float32
+    (rows_s, starts, ends, y0_loc, x0, ia1, ia2, r_lo, r_hi, n_dropped,
+     _use, hw) = _banded_run_prep(
+        grid_shape, p, a1, a2,
+        [w.astype(f32), vis_re.astype(f32), vis_im.astype(f32)],
+        n_bands=n_bands, band_rows_hb=band_rows_hb, subgrid=subgrid,
+        chunk=chunk, support=support, max_runs=max_runs,
+        fit_margin=fit_margin)
+    recs = _pack_record_rows(rows_s, p.shape[0], chunk)
+    return (recs, starts, ends, y0_loc, x0, ia1, ia2, r_lo, r_hi,
+            n_dropped, hw)
 
 
 def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
@@ -787,19 +824,7 @@ def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
         max_runs=max_runs, fit_margin=fit_margin,
     )
 
-    k_arr = np.arange(S, dtype=np.float64) - S // 2
-    F = np.exp(-2j * np.pi * np.outer(k_arr, k_arr) / S) / S
-    if taper_beta > 0:
-        x_ = k_arr / (S / 2)
-        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
-        F = F * (t1 / np.i0(taper_beta))[None, :]
-    Hr = np.zeros((S, 2 * S))
-    Hi = np.zeros((S, 2 * S))
-    Hr[:, 0::2] = F.real.T
-    Hr[:, 1::2] = F.imag.T
-    Hi[:, 0::2] = -F.imag.T
-    Hi[:, 1::2] = F.real.T
-    F2 = np.block([[F.real, -F.imag], [F.imag, F.real]])
+    _F, Hr, Hi, F2, _Pe, _Po = _dft_factors(S, taper_beta)
 
     n_pad = recs.shape[0] * chunk
     # full-CSR block ranges once; each band clamps to its contiguous
@@ -890,50 +915,17 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
     HP, WP2, K, Hb, band_rows = _banded_geometry(
         N, Nx, S, IDG_AW_VMEM_BUDGET)
 
-    # degrid twin of the banded prep: same banded sort, but the ORIGINAL
-    # index rides the sort for the epilogue unsort
-    from ..ops.idg_aw import _record_keys
-    from .idg_aw_pallas import _align, _run_csr
-
-    (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
-     HPk, WPk) = _record_keys(grid_shape, p, a1, a2, S, support,
-                              fit_margin)
+    # degrid twin of the banded prep: the ORIGINAL index rides the sort
+    # (as f32 — exact for n < 2^24) for the epilogue unsort
     f32 = jnp.float32
-    ty = tkey // ntx_t
-    y0r = jnp.clip(ty * Tc - (S - Tc) // 2, 0, HPk - S)
-    band = jnp.minimum(y0r // Hb, K - 1)
-    pkey_b = jnp.where(pkey < jnp.int32(2**30),
-                       band * jnp.int32(2**22) + pkey, pkey)
-    pk_s, tk_s, dy_s, dx_s, w_s, order_s = jax.lax.sort(
-        [pkey_b, tkey, dy, dx, w.astype(f32),
-         jnp.arange(n, dtype=jnp.int32)],
-        num_keys=2, is_stable=True,
-    )
-    starts_ext, starts, ends, y0, x0, ia1_raw, ia2, overflow = _run_csr(
-        pk_s, tk_s, n, max_runs, Tc, ntx_t, S, HPk, WPk
-    )
-    band_of_run = jnp.minimum(y0 // Hb, K - 1)
-    ia1 = ia1_raw - band_of_run * jnp.int32(2**7)
-    y0_loc = jnp.maximum(y0 - band_of_run * Hb, 0)
-    sent = ia1_raw >= jnp.int32(2**15)
-    band_m = jnp.where((ends > starts) & ~sent, band_of_run,
-                       jnp.int32(K))
-    karange = jnp.arange(K, dtype=jnp.int32)
-    r_lo = jnp.searchsorted(band_m, karange, side="left"
-                            ).astype(jnp.int32)
-    r_hi = jnp.searchsorted(band_m, karange, side="right"
-                            ).astype(jnp.int32)
-    placeable_s = pk_s < jnp.int32(2**30)
-    n_dropped = (jnp.sum(valid & ~fit)
-                 + jnp.sum(overflow & placeable_s)).astype(jnp.int32)
-    use = valid & fit
-
-    n_pad = _align(max(n, 1), chunk)
-    zero = jnp.zeros((n_pad - n,), f32)
-    rows = [jnp.concatenate([r, zero]) for r in (dy_s, dx_s, w_s)]
-    rows += [jnp.zeros((n_pad,), f32)] * 5
-    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
-                                   ).transpose(1, 0, 2)
+    (rows_s, starts, ends, y0_loc, x0, ia1, ia2, r_lo, r_hi, n_dropped,
+     use, _hw) = _banded_run_prep(
+        grid_shape, p, a1, a2,
+        [w.astype(f32), jnp.arange(n, dtype=f32)],
+        n_bands=K, band_rows_hb=Hb, subgrid=S, chunk=chunk,
+        support=support, max_runs=max_runs, fit_margin=fit_margin)
+    order_s = rows_s[3].astype(jnp.int32)
+    recs = _pack_record_rows(rows_s[:3], n, chunk)
     nblk = recs.shape[0]
 
     # padded planar grid in HBM; bands slice rows on demand
@@ -943,17 +935,9 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
     gp = jnp.zeros((HP + band_rows, WP2), f32)    # slop so slices fit
     gp = jax.lax.dynamic_update_slice(gp, inter, (PADM, 2 * PADM))
 
-    k_arr = np.arange(S, dtype=np.float64) - S // 2
-    F = np.exp(-2j * np.pi * np.outer(k_arr, k_arr) / S) / S
-    if taper_beta > 0:
-        x_ = k_arr / (S / 2)
-        t1 = np.i0(taper_beta * np.sqrt(np.clip(1.0 - x_ * x_, 0.0, 1.0)))
-        F = F * (t1 / np.i0(taper_beta))[None, :]
-    Pe = np.zeros((2 * S, S), np.float32)
-    Po = np.zeros((2 * S, S), np.float32)
-    Pe[0::2, :] = np.eye(S, dtype=np.float32)
-    Po[1::2, :] = np.eye(S, dtype=np.float32)
+    F, _Hr, _Hi, _F2, Pe, Po = _dft_factors(S, taper_beta)
 
+    n_pad = nblk * chunk
     rs_full, re_full = block_run_ranges(starts, ends, n_pad, chunk)
     total = jnp.zeros((nblk, 8, chunk), f32)
     for kb in range(K):

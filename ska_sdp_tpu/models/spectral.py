@@ -176,27 +176,53 @@ def _idg_multi_pipeline(uvw, f_ref, ratios, vis_re_mc, vis_im_mc, *,
         s_sup = 15
         margin_full = subgrid // 2 - s_sup // 2 - 12
         tc = max(2 * (margin_full - drift_cells) - 2, 8)
-        tile_bound = ((n_grid + 2 * subgrid) // tc + 2) ** 2
-        max_runs = min(tile_bound + 64, 24576)
-        zer = jnp.zeros((uvw1.shape[0],), jnp.int32)
-        (base, vis_s, st, en, y0, x0, i1, i2, nd0, _hw) =             idg_aw_run_records_multi(
+        tile_bound = ((n_grid + 2 * subgrid) // tc + 2) ** 2 + 64
+        if tile_bound <= 24576:
+            zer = jnp.zeros((uvw1.shape[0],), jnp.int32)
+            (base, vis_s, st, en, y0, x0, i1, i2, nd0,
+             _hw) = idg_aw_run_records_multi(
                 (n_grid, n_grid), uvw1 / lam, zer, zer, uvw1[:, 2],
                 jnp.real(vis1).astype(jnp.float32),
                 jnp.imag(vis1).astype(jnp.float32), subgrid=subgrid,
-                max_runs=max_runs, drift_cells=drift_cells,
+                max_runs=tile_bound, drift_cells=drift_cells,
             )
-        sre = jnp.ones((1, subgrid, subgrid), jnp.float32)
-        sim = jnp.zeros((1, subgrid, subgrid), jnp.float32)
+            sre = jnp.ones((1, subgrid, subgrid), jnp.float32)
+            sim = jnp.zeros((1, subgrid, subgrid), jnp.float32)
 
-        def body(_, rv):
-            r, vc = rv
-            recs, nm = idg_aw_records_for_channel(base, vc, r,
-                                                  subgrid=subgrid)
-            gr, gi = idg_aw_grid_from_records(
-                recs, st, en, y0, x0, i1, i2, (n_grid, n_grid), sre, sim,
-                theta=theta_g, subgrid=subgrid, taper_beta=taper_beta,
+            def body(_, rv):
+                r, vc = rv
+                recs, nm = idg_aw_records_for_channel(base, vc, r,
+                                                      subgrid=subgrid)
+                gr, gi = idg_aw_grid_from_records(
+                    recs, st, en, y0, x0, i1, i2, (n_grid, n_grid), sre,
+                    sim, theta=theta_g, subgrid=subgrid,
+                    taper_beta=taper_beta,
+                )
+                return 0, (gr, gi, nm + nd0)
+        else:
+            # a run bound past the SMEM CSR envelope would overflow into
+            # COUNTED drops, but the fixed-tile multi machinery grids
+            # those records losslessly — keep it for this regime (large
+            # grids under heavy drift; the same no-silent-loss contract
+            # as kernels._idg_unit_run_bound)
+            from ..kernels.idg_pallas import (idg_bin_records_multi,
+                                              idg_grid_from_records,
+                                              idg_records_for_channel)
+
+            base, vis_s, starts = idg_bin_records_multi(
+                (n_grid, n_grid), uvw1 / lam, uvw1[:, 2],
+                jnp.real(vis1), jnp.imag(vis1), subgrid=subgrid,
             )
-            return 0, (gr, gi, nm + nd0)
+
+            def body(_, rv):
+                r, vc = rv
+                recs, nm = idg_records_for_channel(base, vc, r,
+                                                   subgrid=subgrid)
+                gr, gi = idg_grid_from_records(
+                    recs, starts, (n_grid, n_grid), theta=theta_g,
+                    subgrid=subgrid, taper_beta=taper_beta,
+                )
+                return 0, (gr, gi, nm)
 
         _, (g_re, g_im, masked) = jax.lax.scan(
             body, 0, (ratios.astype(jnp.float32), vis_s))

@@ -1460,3 +1460,62 @@ class TestIDGAWBandedDrops:
         d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
              / (np.linalg.norm(np.asarray(want)) + 1e-30))
         assert d < 5e-5, d
+
+
+class TestIDGAWBandedManyAntennas:
+    def test_banded_sane_beyond_128_antennas(self, rng, monkeypatch):
+        """SKA-Low-scale antenna ids (≥128) through the banded path: the
+        band is a SEPARATE sort key (folding it into the pair key would
+        alias bands once a1 ≥ 2⁷ and silently corrupt the image)."""
+        import ska_sdp_tpu.kernels.idg_aw_stream_pallas as SP
+        from ska_sdp_tpu.ops.idg_aw import aw_screens, idg_grid_aw
+
+        nant = 200
+        pairs = [(i, i + 37) for i in range(0, nant - 37, 13)]
+        nbl = len(pairs)
+        ntime = 48
+        rows = []
+        for bi, (i, j) in enumerate(pairs):
+            u0 = rng.uniform(-0.35, 0.35, 2)
+            du = rng.uniform(-12.0 / N, 12.0 / N, 2)
+            for t in range(ntime):
+                ft = t / ntime
+                rows.append((u0[0] + du[0] * ft, u0[1] + du[1] * ft,
+                             rng.uniform(-200, 200), i, j))
+        arr = np.asarray(rows)
+        b = arr.shape[0]
+        p = np.zeros((b, 3), np.float32)
+        p[:, :2] = arr[:, :2]
+        w = arr[:, 2].astype(np.float32)
+        a1 = arr[:, 3].astype(np.int32)
+        a2 = arr[:, 4].astype(np.int32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+        s = 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 1:c + 2, c - 1:c + 2] += 0.1 * (
+            rng.standard_normal((nant, 3, 3))
+            + 1j * rng.standard_normal((nant, 3, 3))).astype(np.complex64)
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        mr = 8 * nbl * 4 + b // 128 + 64
+
+        orig = SP._banded_geometry
+        monkeypatch.setattr(
+            SP, "_banded_geometry",
+            lambda N_, Nx, S_, bud: orig(N_, Nx, S_, 1024 * 1024))
+        assert SP._banded_geometry(N, N, SA, 0)[2] >= 2
+
+        got, nd = SP.idg_aw_gridder_banded(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=mr, interpret=True)
+        want, ndw = idg_grid_aw(
+            (N, N), jnp.asarray(p), jnp.asarray(a1), jnp.asarray(a2),
+            jnp.asarray(w), jnp.asarray(vis), scr, theta=THETA,
+            subgrid=SA, max_runs=mr)
+        assert int(nd) == int(ndw) == 0
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, d
