@@ -2,14 +2,35 @@
 
 Measures the hot kernels of the framework at the SKA1_Low scale
 (BASELINE.md configs) on whatever accelerator JAX selects (the real TPU
-chip under the driver; CPU as fallback):
+chip under the driver; CPU as fallback).
 
-  1. (headline) w-projection scatter — kernel-convolved scatter of complex
-     visibilities onto the 2400² uv-grid with an oversampled kernel bank.
-  2. degridding — the adjoint gather (grid → vis predict).
-  3. fused AW-projection — per-visibility on-the-fly A1⊛A2⊛W kernels.
-  4. full imaging step — scatter + hermitian completion + centered iFFT
-     (the whole device program of a production imaging iteration).
+HEADLINE (round 5, VERDICT r4 #2): the framework's best honest
+w-projection — the STREAMED image-domain gridding kernel (exact
+continuous-w placement, rel err ≤1e-4 vs a direct-DFT truth; the
+``idg accuracy`` extra in this same output pins the number every run).
+That path is MORE accurate than the qpx=8 bank-lookup kernel it
+replaces as headline (the bank quantizes w to 32 planes and uv to 1/8
+cell; BENCH.md round-2 accuracy comparison), so it satisfies the
+metric's semantics outright.  The bank-lookup kernel — at its own
+declared VMEM-RMW roofline (~25-40M vis/s, BENCH.md) — is reported as
+a labeled extra.
+
+DRIVER-BUDGET CONTRACT (round 5, VERDICT r4 #1): the driver runs this
+under a ~10-minute timeout and parses the LAST parseable stdout line.
+Round 4 printed its single JSON line only after all metrics and was
+killed mid-run — the official record was empty.  This version:
+
+  * prints the full JSON line (headline + extras-so-far) after EVERY
+    metric completes — a timeout at any point leaves the most complete
+    record measured so far as the last stdout line;
+  * orders metrics by importance, so what a timeout cuts is the least
+    important tail;
+  * guards each metric with a time budget (default 460 s, override
+    ``SKA_SDP_TPU_BENCH_BUDGET_S``) against COLD-compile cost
+    estimates — skipped metrics are recorded as ``skipped (budget)``;
+  * flushes the current record on SIGTERM before exiting;
+  * ``SKA_SDP_TPU_BENCH_FULL=1`` disables the budget and adds the
+    slow extras (long-observation e2e).
 
 Device-boundary note: the TPU PJRT path here does not support complex
 transfers, so complex operands enter as (re, im) float32 pairs and each
@@ -18,20 +39,17 @@ step returns a real checksum that forces full execution (see utils/cplx.py).
 The reference publishes no numbers (BASELINE.md); the driver's north-star is
 "≥5× H100-class visibilities/sec".  ``vs_baseline`` is therefore reported
 against H100_CLASS_VIS_PER_SEC below: an H100-class estimate for this exact
-kernel (qpx=8, s=15 ⇒ 225 complex64 MACs + 1 gather + 1 scatter-add per
-visibility).  A tuned CUDA gridder of this shape is scatter-bound; published
-GPU gridding work (Romein-style thread-coarsened gridders, PAPERS.md) lands
-in the ~1-3 Gvis/s range on H100-class parts for 15² kernels; we use 2e9 as
-the bar.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"extra_metrics": [...]} — the extra metrics carry the non-headline kernels
-so regressions there are driver-visible (VERDICT r1 #7).
+operator.  Published GPU gridding work (Romein-style thread-coarsened
+gridders, PAPERS.md) lands in the ~1-3 Gvis/s range on H100-class parts for
+15² kernels; we use 2e9 as the bar.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
@@ -76,27 +94,51 @@ def _util(rate: float, model: str) -> dict:
 THETA, LAM = 0.008, 300000
 NW, QPX, S = 32, 8, 15
 NANT = 64
-N_VIS = 1 << 20           # per timed step (headline / degrid / full step)
+N_VIS = 1 << 20           # per timed step
 N_VIS_AW = 1 << 19        # AW fused
-STEPS = 5                 # outer reps (median taken — tunnel spikes)
+STEPS = 3                 # outer reps (median taken — tunnel spikes)
 # Device steps chained per dispatch.  Round-4 measurement: the ~27-34 ms
 # tunnel dispatch floor divides by the chain length, so CHAIN=8 still
-# left ~4.2 ms/step of DISPATCH inside every round-3 number (measured: a
-# trivial chained jnp step costs 4.05/1.01/0.52 ms at chain 8/32/64 —
-# pure floor/chain).  At 32 the residual is ~1 ms/step (<10% of the
-# fastest kernels); production pipelines amortize dispatch identically.
+# left ~4.2 ms/step of DISPATCH inside every round-3 number.  At 32 the
+# residual is ~1 ms/step (<10% of the fastest kernels); production
+# pipelines amortize dispatch identically.
 CHAIN = 32
+
+T0 = time.time()
+FULL = os.environ.get("SKA_SDP_TPU_BENCH_FULL", "") == "1"
+BUDGET_S = float(os.environ.get("SKA_SDP_TPU_BENCH_BUDGET_S", "460"))
+
+# --- incremental result record ------------------------------------------
+_state: dict = {"headline": None, "extras": []}
+
+
+def _emit() -> None:
+    """Print the full JSON record as it stands.  Called after every
+    metric: the driver parses the LAST parseable stdout line, so each
+    call supersedes the previous one and a kill at any point leaves the
+    most complete record (VERDICT r4 #1)."""
+    if _state["headline"] is None:
+        return
+    rec = dict(_state["headline"])
+    rec["extra_metrics"] = list(_state["extras"])
+    rec["bench_elapsed_s"] = round(time.time() - T0, 1)
+    print(json.dumps(rec), flush=True)
+
+
+def _on_term(signum, frame):  # pragma: no cover - signal path
+    _emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 
 def _progress(msg):
     """Stderr progress stamps — through the remote-TPU tunnel a cold
     compile can take minutes; silence is indistinguishable from a hang
     without these."""
-    import sys as _s
-    import time as _t
-
-    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=_s.stderr,
-          flush=True)
+    print(f"[bench {time.strftime('%H:%M:%S')} +{time.time() - T0:5.0f}s] "
+          f"{msg}", file=sys.stderr, flush=True)
 
 
 def _rate(step, args, n, k=STEPS, chain=CHAIN):
@@ -104,13 +146,12 @@ def _rate(step, args, n, k=STEPS, chain=CHAIN):
 
     Round-3 measurement (BENCH.md): every host dispatch through the
     remote-TPU tunnel pays a ~27 ms round-trip REGARDLESS of the program —
-    timing single steps mis-charges that latency as kernel time (it
-    inflated every round-1/2 number and invented the round-2 "sort wall").
-    The fix: chain ``chain`` data-dependent steps inside ONE jitted
-    program (each with a distinct salt, so nothing collapses by CSE and
-    the tunnel cannot serve cached results) and divide by the chain
-    length — the same device-throughput convention the published GPU
-    gridder numbers (the 2 Gvis/s bar) use.
+    timing single steps mis-charges that latency as kernel time.  The
+    fix: chain ``chain`` data-dependent steps inside ONE jitted program
+    (each with a distinct salt, so nothing collapses by CSE and the
+    tunnel cannot serve cached results) and divide by the chain length —
+    the same device-throughput convention the published GPU gridder
+    numbers (the 2 Gvis/s bar) use.
     """
     import jax
     import jax.numpy as jnp
@@ -135,9 +176,7 @@ def _rate(step, args, n, k=STEPS, chain=CHAIN):
 
 
 def main() -> None:
-    import os
-
-    # persistent compilation cache: bench compiles ~6 jitted programs
+    # persistent compilation cache: bench compiles ~10 jitted programs
     # (30-90 s each through the remote-TPU tunnel); reruns become fast
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/ska_sdp_tpu_jax_cache")
@@ -151,7 +190,13 @@ def main() -> None:
     except Exception:
         pass
 
-    from ska_sdp_tpu.kernels import aw_gridder, wproj_degridder, wproj_gridder
+    from ska_sdp_tpu.kernels import (
+        aw_gridder,
+        idg_degridder,
+        idg_gridder,
+        wproj_degridder,
+        wproj_gridder,
+    )
     from ska_sdp_tpu.ops import (
         find_closest,
         ifft_centered,
@@ -175,86 +220,15 @@ def main() -> None:
     uvw = jnp.asarray(uvw, jnp.float32)
     vis_re = jnp.asarray(rng.standard_normal(N_VIS).astype(np.float32))
     vis_im = jnp.asarray(rng.standard_normal(N_VIS).astype(np.float32))
+    g_re = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
+    g_im = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
 
     def _prep(uvw_l, vis_c):
         uvw1, vis1 = mirror_uvw(uvw_l, vis_c)
         wbin = find_closest(centers, uvw1[:, 2])
         return uvw1, vis1, wbin
 
-    # 1. headline: w-projection scatter
-    @jax.jit
-    def grid_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
-        bank_c = jax.lax.complex(bank_re, bank_im)
-        vis_c = jax.lax.complex(vis_re, vis_im + salt)
-        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
-        g = wproj_gridder(bank_c, (n_grid, n_grid), uvw1 / LAM, wbin, vis1)
-        return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
-
-    args = (bank_re, bank_im, uvw, vis_re, vis_im)
-    _progress("metric 1/10: w-proj headline")
-    wproj_rate = _rate(grid_step, args, N_VIS)
-
-    def _best_effort(name, fn, *a, **kw):
-        """Extra metrics never take the headline down with them: a
-        Mosaic/compile regression in one kernel reports 0 for that metric
-        instead of killing the whole bench run."""
-        import sys as _sys
-        import traceback as _tb
-
-        try:
-            return fn(*a, **kw)
-        except Exception:
-            print(f"bench metric {name!r} failed:", file=_sys.stderr)
-            _tb.print_exc(limit=3, file=_sys.stderr)
-            return 0.0
-
-    # 2. degridding (adjoint gather, grid → vis)
-    g_re = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
-    g_im = jnp.asarray(rng.standard_normal((n_grid, n_grid)).astype(np.float32))
-
-    @jax.jit
-    def degrid_step(bank_re, bank_im, g_re, g_im, uvw_l, salt):
-        bank_c = jax.lax.complex(bank_re, bank_im)
-        grid_c = jax.lax.complex(g_re + salt, g_im)
-        uvw1, _, wbin = _prep(uvw_l, jnp.zeros(uvw_l.shape[0], jnp.complex64))
-        v = wproj_degridder(bank_c, grid_c, uvw1 / LAM, wbin)
-        return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
-
-    _progress("metric 2/10: degrid")
-    degrid_rate = _best_effort(
-        "degrid", _rate, degrid_step,
-        (bank_re, bank_im, g_re, g_im, uvw), N_VIS, k=3,
-    )
-
-    # 3. fused AW-projection (on-the-fly A1⊛A2⊛W)
-    ak_re = jnp.asarray(rng.standard_normal((NANT, S, S)).astype(np.float32))
-    ak_im = jnp.asarray(rng.standard_normal((NANT, S, S)).astype(np.float32))
-    a1 = jnp.asarray(rng.integers(0, NANT, N_VIS_AW).astype(np.int32))
-    a2 = jnp.asarray(rng.integers(0, NANT, N_VIS_AW).astype(np.int32))
-
-    @jax.jit
-    def aw_step(bank_re, bank_im, ak_re, ak_im, uvw_l, a1, a2,
-                vis_re, vis_im, salt):
-        wk = jax.lax.complex(bank_re, bank_im)
-        ak = jax.lax.complex(ak_re, ak_im)
-        vis_c = jax.lax.complex(vis_re, vis_im + salt)
-        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
-        g = aw_gridder(wk, ak, jnp.zeros((n_grid, n_grid), jnp.complex64),
-                       uvw1 / LAM, wbin, a1, a2, vis1)
-        return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
-
-    _progress("metric 3/10: fused AW")
-    aw_rate = _best_effort(
-        "aw", _rate, aw_step,
-        (bank_re, bank_im, ak_re, ak_im, uvw[:N_VIS_AW], a1, a2,
-         vis_re[:N_VIS_AW], vis_im[:N_VIS_AW]),
-        N_VIS_AW, k=3,
-    )
-
-    # 3b. image-domain gridding (MXU-native w-projection mode): same
-    # workload, analytic screens, continuous w — accuracy ≥ the bank path
-    from ska_sdp_tpu.kernels import idg_gridder
-
+    # ---- metric 1 (HEADLINE): streamed image-domain w-projection -------
     @jax.jit
     def idg_step(uvw_l, vis_re, vis_im, salt):
         vis_c = jax.lax.complex(vis_re, vis_im + salt)
@@ -263,29 +237,276 @@ def main() -> None:
                         theta=THETA)
         return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
-    _progress("metric 4/10: IDG")
-    idg_rate = _best_effort(
-        "idg", _rate, idg_step, (uvw, vis_re, vis_im), N_VIS, k=3)
+    _progress("metric 1 (headline): streamed IDG w-projection")
+    idg_rate = _rate(idg_step, (uvw, vis_re, vis_im), N_VIS, k=STEPS)
+    _state["headline"] = {
+        "metric": ("visibilities gridded/sec/chip (SKA1_Low w-projection, "
+                   "2400^2 grid, complex64; streamed image-domain gridding "
+                   "kernel — exact continuous-w placement, rel err <=1e-4 vs "
+                   "direct-DFT truth [see 'IDG accuracy' extra], MORE "
+                   "accurate than the qpx=8 bank-lookup kernel reported as "
+                   "the 'w-projection (kernel-bank lookup)' extra)"),
+        "value": round(idg_rate, 1),
+        "unit": "vis/s",
+        "vs_baseline": round(idg_rate / H100_CLASS_VIS_PER_SEC, 4),
+        **_util(idg_rate, "idg"),
+    }
+    _emit()
 
-    # 3c. IDG degridding / predict (exact continuous-w adjoint)
-    from ska_sdp_tpu.kernels import idg_degridder
+    # ---- remaining metrics: priority-ordered, budget-guarded -----------
+    def _extra(entry):
+        _state["extras"].append(entry)
+        _emit()
 
+    def _run_metric(name, est_cold_s, fn):
+        """Budget guard: run ``fn`` unless the remaining budget cannot
+        cover the estimated COLD cost (warm-cache runs come in far under
+        the estimates, so nothing is skipped then).  A failed metric
+        records 0 and never takes the record down (VERDICT r1 #7)."""
+        left = BUDGET_S - (time.time() - T0)
+        if not FULL and left < est_cold_s:
+            _progress(f"skip {name}: {left:.0f}s left < est {est_cold_s}s")
+            _extra({"metric": name, "value": 0.0, "unit": "vis/s",
+                    "note": "skipped (driver time budget)"})
+            return
+        _progress(f"metric: {name}")
+        import traceback
+
+        try:
+            fn()
+        except Exception:
+            print(f"bench metric {name!r} failed:", file=sys.stderr)
+            traceback.print_exc(limit=3, file=sys.stderr)
+            _extra({"metric": name, "value": 0.0, "unit": "vis/s",
+                    "note": "failed (see stderr)"})
+
+    # -- 2. bank-lookup w-projection (the former headline; VMEM-RMW-bound
+    #       design ceiling ~25-40M — BENCH.md roofline)
     @jax.jit
-    def idg_degrid_step(g_re, g_im, uvw_l, salt):
-        grid_c = jax.lax.complex(g_re + salt, g_im)
-        uvw1, _, _ = _prep(uvw_l, jnp.zeros(uvw_l.shape[0], jnp.complex64))
-        v = idg_degridder((n_grid, n_grid), uvw1 / LAM, uvw1[:, 2], grid_c,
-                          theta=THETA)
-        return jnp.sum(jnp.abs(jnp.real(v))) + jnp.sum(jnp.abs(jnp.imag(v)))
+    def grid_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
+        bank_c = jax.lax.complex(bank_re, bank_im)
+        vis_c = jax.lax.complex(vis_re, vis_im + salt)
+        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
+        g = wproj_gridder(bank_c, (n_grid, n_grid), uvw1 / LAM, wbin, vis1)
+        return jnp.sum(jnp.abs(jnp.real(g))) + jnp.sum(jnp.abs(jnp.imag(g)))
 
-    _progress("metric 5/10: IDG degrid")
-    idg_degrid_rate = _best_effort(
-        "idg_degrid", _rate, idg_degrid_step, (g_re, g_im, uvw), N_VIS, k=3)
+    wargs = (bank_re, bank_im, uvw, vis_re, vis_im)
 
-    # 3d. IDG accuracy vs an independent direct-DFT truth (small problem;
-    # the number the 'exact continuous-w placement' claim rests on)
-    def _idg_accuracy():
-        from ska_sdp_tpu.kernels import idg_gridder as _idg
+    def _m_wproj_bank():
+        r = _rate(grid_step, wargs, N_VIS, k=2)
+        _extra({
+            "metric": ("w-projection (kernel-bank lookup, qpx=8, 15^2 "
+                       "kernels; resident Pallas kernel at its VMEM-RMW "
+                       "design roofline)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "wproj"),
+        })
+
+    _run_metric("w-projection bank-lookup", 50, _m_wproj_bank)
+
+    # -- 3-7. IDG-AW family on BASELINE-TRACK data (the layout real
+    #    interferometer data arrives in; shared setup)
+    rngT = np.random.default_rng(11)
+    ii, jj = np.triu_indices(NANT, k=1)
+    nbl = ii.shape[0]
+    ntime, nchan = 65, 8                     # nbl*65*8 = 1.048M records
+    u0 = rngT.uniform(-0.40, 0.40, (nbl, 2))
+    du = rngT.uniform(-30.0 / n_grid, 30.0 / n_grid, (nbl, 2))
+    w0 = rngT.uniform(-3800.0, 3800.0, nbl)
+    dw = rngT.uniform(-100.0, 100.0, nbl)
+    ft = (np.arange(ntime) / ntime)[:, None, None]
+    fs = (1.0 + 0.0005 * np.arange(nchan))[None, None, :]
+    ut = (u0[None, :, 0:1] + du[None, :, 0:1] * ft) * fs
+    vt = (u0[None, :, 1:2] + du[None, :, 1:2] * ft) * fs
+    wt = (w0[None, :, None] + dw[None, :, None] * ft) * np.ones_like(fs)
+    nT = ut.size
+    pT = np.zeros((nT, 3), np.float32)
+    pT[:, 0] = ut.ravel()
+    pT[:, 1] = vt.ravel()
+    a1T = np.broadcast_to(ii[None, :, None], ut.shape).ravel()
+    a2T = np.broadcast_to(jj[None, :, None], ut.shape).ravel()
+    ak_re = rng.standard_normal((NANT, S, S)).astype(np.float32)
+    ak_im = rng.standard_normal((NANT, S, S)).astype(np.float32)
+    from ska_sdp_tpu.ops.idg_aw import aw_screens_host
+
+    scr = aw_screens_host(ak_re + 1j * ak_im, 64)
+    # (pair, uv-tile) run bound: tracks split at tile crossings
+    max_runs = 8 * nbl + nT // 128 + 64
+    argsT = (
+        jnp.asarray(pT), jnp.asarray(wt.ravel(), jnp.float32),
+        jnp.asarray(a1T, jnp.int32), jnp.asarray(a2T, jnp.int32),
+        jnp.asarray(scr.real, jnp.float32),
+        jnp.asarray(scr.imag, jnp.float32),
+        jnp.asarray(rng.standard_normal(nT).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(nT).astype(np.float32)),
+    )
+
+    # -- 3. SUSTAINED IDG-AW (run sort amortized across a channel group —
+    #       the from-records split; channels swap only the vis rows)
+    def _m_aw_sustained():
+        from ska_sdp_tpu.kernels.idg_aw_pallas import (
+            idg_aw_grid_from_records, idg_aw_run_records,
+        )
+
+        @jax.jit
+        def _prepT(p_j, w_j, a1_j, a2_j, vr, vi):
+            return idg_aw_run_records(
+                (n_grid, n_grid), p_j, a1_j, a2_j, w_j, vr, vi,
+                max_runs=max_runs,
+            )
+
+        recs, st, en, y0c, x0c, i1c, i2c, _nd, _geo = _prepT(
+            argsT[0], argsT[1], argsT[2], argsT[3], argsT[6], argsT[7])
+
+        @jax.jit
+        def sus_step(recs, st, en, y0c, x0c, i1c, i2c, sre, sim, salt):
+            recs = recs.at[0, 3, 0].add(salt)
+            gr, gi = idg_aw_grid_from_records(
+                recs, st, en, y0c, x0c, i1c, i2c, (n_grid, n_grid),
+                sre, sim, theta=THETA,
+            )
+            return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
+
+        r = _rate(
+            sus_step,
+            (recs, st, en, y0c, x0c, i1c, i2c, argsT[4], argsT[5]),
+            nT, k=2,
+        )
+        _extra({
+            "metric": ("SUSTAINED IDG-AW (image-domain A-screens, "
+                       "baseline-track layout, 64 ants; run sort amortized "
+                       "across channel group)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("sustained IDG-AW", 70, _m_aw_sustained)
+
+    # -- 4. IDG-AW sorted single-shot (first-contact cost: prep included)
+    def _m_aw_sorted():
+        from ska_sdp_tpu.kernels import idg_aw_gridder
+
+        @jax.jit
+        def aw_idg_step(p_j, w_j, a1_j, a2_j, sre, sim, vr, vi, salt):
+            guv, nd = idg_aw_gridder(
+                (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                jax.lax.complex(vr, vi + salt), jax.lax.complex(sre, sim),
+                theta=THETA, max_runs=max_runs,
+            )
+            return (jnp.sum(jnp.abs(jnp.real(guv)))
+                    + jnp.sum(jnp.abs(jnp.imag(guv))) + 0.0 * nd)
+
+        r = _rate(aw_idg_step, argsT, nT, k=2)
+        _extra({
+            "metric": ("IDG-AW single-shot, sorted prep (image-domain "
+                       "A-screens, pair-chunked subgrids, baseline-track "
+                       "layout, 64 ants)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("IDG-AW sorted single-shot", 70, _m_aw_sorted)
+
+    # -- 5. IDG-AW ordered single-shot: a pair-major SINGLE-channel track
+    #       stream ([nbl, ntime] — one transpose of the file raster)
+    #       replaces the comparison sort (VERDICT r3 #4, ordered=True).
+    #       Drops poison the checksum here so a regression cannot hide.
+    def _m_aw_ordered():
+        from ska_sdp_tpu.kernels import idg_aw_gridder
+
+        ntime1 = nT // nbl                     # 520: same n, 1 chan
+        ft1 = (np.arange(ntime1) / ntime1)[:, None]
+        u1 = u0[None, :, 0] + du[None, :, 0] * ft1       # [ntime1,nbl]
+        v1 = u0[None, :, 1] + du[None, :, 1] * ft1
+        w1 = w0[None, :] + dw[None, :] * ft1
+        n1 = u1.size
+        p1 = np.zeros((n1, 3), np.float32)
+        p1[:, 0] = u1.T.ravel()
+        p1[:, 1] = v1.T.ravel()
+        a1o = np.repeat(ii, ntime1).astype(np.int32)
+        a2o = np.repeat(jj, ntime1).astype(np.int32)
+        w1r = w1.T.ravel().astype(np.float32)
+        vr1 = rng.standard_normal(n1).astype(np.float32)
+        vi1 = rng.standard_normal(n1).astype(np.float32)
+
+        @jax.jit
+        def aw_idg_ordered_step(p_j, w_j, a1_j, a2_j, sre, sim, vr,
+                                vi, salt):
+            guv, nd = idg_aw_gridder(
+                (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                jax.lax.complex(vr, vi + salt),
+                jax.lax.complex(sre, sim),
+                theta=THETA, max_runs=max_runs, ordered=True,
+            )
+            return (jnp.sum(jnp.abs(jnp.real(guv)))
+                    + jnp.sum(jnp.abs(jnp.imag(guv)))
+                    + jnp.where(nd > 0, jnp.float32(jnp.nan), 0.0))
+
+        args1 = (jnp.asarray(p1), jnp.asarray(w1r),
+                 jnp.asarray(a1o), jnp.asarray(a2o),
+                 argsT[4], argsT[5], jnp.asarray(vr1), jnp.asarray(vi1))
+        r = _rate(aw_idg_ordered_step, args1, n1, k=2)
+        _extra({
+            "metric": ("IDG-AW ordered single-shot (pair-major transpose "
+                       "replaces the record sort; drops poison checksum)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("IDG-AW ordered single-shot", 60, _m_aw_ordered)
+
+    # -- 6. IDG degridding / predict (exact continuous-w adjoint)
+    def _m_idg_degrid():
+        @jax.jit
+        def idg_degrid_step(g_re, g_im, uvw_l, salt):
+            grid_c = jax.lax.complex(g_re + salt, g_im)
+            uvw1, _, _ = _prep(uvw_l, jnp.zeros(uvw_l.shape[0],
+                                                jnp.complex64))
+            v = idg_degridder((n_grid, n_grid), uvw1 / LAM, uvw1[:, 2],
+                              grid_c, theta=THETA)
+            return (jnp.sum(jnp.abs(jnp.real(v)))
+                    + jnp.sum(jnp.abs(jnp.imag(v))))
+
+        r = _rate(idg_degrid_step, (g_re, g_im, uvw), N_VIS, k=2)
+        _extra({
+            "metric": ("IDG degridding / predict (exact continuous-w "
+                       "adjoint, streamed kernel)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("IDG degrid", 60, _m_idg_degrid)
+
+    # -- 7. IDG-AW degridding (model predict with A-terms)
+    def _m_aw_degrid():
+        from ska_sdp_tpu.kernels import idg_aw_degridder
+
+        @jax.jit
+        def dg_step(g_re, g_im, p_j, w_j, a1_j, a2_j, sre, sim, salt):
+            v, nd = idg_aw_degridder(
+                (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                jax.lax.complex(g_re + salt, g_im),
+                jax.lax.complex(sre, sim),
+                theta=THETA, max_runs=max_runs,
+            )
+            return (jnp.sum(jnp.abs(jnp.real(v)))
+                    + jnp.sum(jnp.abs(jnp.imag(v))) + 0.0 * nd)
+
+        r = _rate(
+            dg_step,
+            (g_re, g_im, argsT[0], argsT[1], argsT[2], argsT[3],
+             argsT[4], argsT[5]),
+            nT, k=2,
+        )
+        _extra({
+            "metric": ("IDG-AW degridding / predict with A-terms "
+                       "(streamed adjoint kernel)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("IDG-AW degrid", 60, _m_aw_degrid)
+
+    # -- 8. IDG accuracy vs an independent direct-DFT truth, BOTH
+    #       precision tiers (VERDICT r4 #7: the accuracy record must not
+    #       silently track the default tier).  The split3 envelope
+    #       (<=1e-4) is asserted — a violation poisons the value to NaN
+    #       the way drops poison checksums.
+    def _m_idg_accuracy():
         from ska_sdp_tpu.ops import ifft_centered as _ifft
         from ska_sdp_tpu.ops.idg import kaiser_taper, taper_fine
 
@@ -296,19 +517,6 @@ def main() -> None:
         wa = rng2.uniform(-250, 250, b).astype(np.float32)
         va = (rng2.standard_normal(b)
               + 1j * rng2.standard_normal(b)).astype(np.complex64)
-
-        @jax.jit
-        def acc_step(p_j, w_j, vr, vi):
-            g = _idg((Na, Na), p_j, w_j, jax.lax.complex(vr, vi), theta=th)
-            c = _ifft(g)
-            tf = taper_fine(Na, Sa, kaiser_taper(Sa, 12.0)).astype(jnp.float32)
-            t2 = tf[:, None] * tf[None, :]
-            return jnp.real(c) / t2, jnp.imag(c) / t2
-
-        ire, iim = acc_step(
-            jnp.asarray(pa), jnp.asarray(wa),
-            jnp.asarray(va.real), jnp.asarray(va.imag))
-        img = np.asarray(ire) + 1j * np.asarray(iim)
         # numpy direct-DFT truth
         xf = (np.arange(Na) - Na // 2) / Na
         l = xf * th
@@ -321,239 +529,94 @@ def main() -> None:
             ref += va[i] * np.outer(ey, ex) * np.exp(-2j * np.pi * wa[i] * n_lm)
         ref = ref / (Na * Na)
         c = Na // 8                                  # central 75% (documented
-        d = np.linalg.norm((img - ref)[c:-c, c:-c])  # usable-FOV region)
-        return float(d / np.linalg.norm(ref[c:-c, c:-c]))
+        refc = ref[c:-c, c:-c]                       # usable-FOV region)
 
-    _progress("metric 6/10: IDG accuracy")
-    idg_acc = _best_effort("idg_accuracy", _idg_accuracy)
+        def one_tier(tier):
+            # the tier env var is read at kernel TRACE time, so each
+            # tier gets its own jitted program
+            os.environ["SKA_SDP_TPU_IDG_AW_PRECISION"] = tier
 
-    # 3e. IDG-AW (image-domain A-screens on pair-chunked subgrids): the
-    # same AW workload on BASELINE-TRACK data — the layout real
-    # interferometer data arrives in and the one IDG-AW's pair-chunking
-    # is designed for (random-uv AW is metric 3's fused kernel's job)
-    def _idg_aw():
-        from ska_sdp_tpu.kernels import idg_aw_gridder
-        from ska_sdp_tpu.ops.idg_aw import aw_screens_host
+            @jax.jit
+            def acc_step(p_j, w_j, vr, vi):
+                g = idg_gridder((Na, Na), p_j, w_j,
+                                jax.lax.complex(vr, vi), theta=th)
+                cim = _ifft(g)
+                tf = taper_fine(Na, Sa,
+                                kaiser_taper(Sa, 12.0)).astype(jnp.float32)
+                t2 = tf[:, None] * tf[None, :]
+                return jnp.real(cim) / t2, jnp.imag(cim) / t2
 
-        rngT = np.random.default_rng(11)
-        ii, jj = np.triu_indices(NANT, k=1)
-        nbl = ii.shape[0]
-        ntime, nchan = 65, 8                     # nbl*65*8 = 1.048M records
-        u0 = rngT.uniform(-0.40, 0.40, (nbl, 2))
-        du = rngT.uniform(-30.0 / n_grid, 30.0 / n_grid, (nbl, 2))
-        w0 = rngT.uniform(-3800.0, 3800.0, nbl)
-        dw = rngT.uniform(-100.0, 100.0, nbl)
-        ft = (np.arange(ntime) / ntime)[:, None, None]
-        fs = (1.0 + 0.0005 * np.arange(nchan))[None, None, :]
-        ut = (u0[None, :, 0:1] + du[None, :, 0:1] * ft) * fs
-        vt = (u0[None, :, 1:2] + du[None, :, 1:2] * ft) * fs
-        wt = (w0[None, :, None] + dw[None, :, None] * ft) * np.ones_like(fs)
-        nT = ut.size
-        pT = np.zeros((nT, 3), np.float32)
-        pT[:, 0] = ut.ravel()
-        pT[:, 1] = vt.ravel()
-        a1T = np.broadcast_to(ii[None, :, None], ut.shape).ravel()
-        a2T = np.broadcast_to(jj[None, :, None], ut.shape).ravel()
-        scr = aw_screens_host(np.asarray(ak_re) + 1j * np.asarray(ak_im), 64)
-        # (pair, uv-tile) run bound: tracks split at tile crossings
-        max_runs = 8 * nbl + nT // 128 + 64
+            ire, iim = acc_step(
+                jnp.asarray(pa), jnp.asarray(wa),
+                jnp.asarray(va.real), jnp.asarray(va.imag))
+            img = np.asarray(ire) + 1j * np.asarray(iim)
+            d = np.linalg.norm((img[c:-c, c:-c]) - refc)
+            return float(d / np.linalg.norm(refc))
 
+        try:
+            acc_split3 = one_tier("split3")
+            acc_exact = one_tier("exact")
+        finally:
+            os.environ.pop("SKA_SDP_TPU_IDG_AW_PRECISION", None)
+        val = acc_split3 if acc_split3 <= 1e-4 else float("nan")
+        _extra({
+            "metric": ("IDG accuracy vs direct-DFT truth (rel err, central "
+                       "75% FOV; default split3 tier — NaN if the <=1e-4 "
+                       "envelope is violated; 'exact' = "
+                       "SKA_SDP_TPU_IDG_AW_PRECISION=exact tier)"),
+            "value": round(val, 7),
+            "unit": "rel_err",
+            "tiers": {"split3": round(acc_split3, 7),
+                      "exact": round(acc_exact, 7)},
+        })
+
+    _run_metric("IDG accuracy (both tiers)", 25, _m_idg_accuracy)
+
+    # -- 9. bank-path degridding
+    def _m_degrid_bank():
         @jax.jit
-        def aw_idg_step(p_j, w_j, a1_j, a2_j, sre, sim, vr, vi, salt):
-            guv, nd = idg_aw_gridder(
-                (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
-                jax.lax.complex(vr, vi + salt), jax.lax.complex(sre, sim),
-                theta=THETA, max_runs=max_runs,
-            )
-            return (jnp.sum(jnp.abs(jnp.real(guv)))
-                    + jnp.sum(jnp.abs(jnp.imag(guv))) + 0.0 * nd)
+        def degrid_step(bank_re, bank_im, g_re, g_im, uvw_l, salt):
+            bank_c = jax.lax.complex(bank_re, bank_im)
+            grid_c = jax.lax.complex(g_re + salt, g_im)
+            uvw1, _, wbin = _prep(uvw_l, jnp.zeros(uvw_l.shape[0],
+                                                   jnp.complex64))
+            v = wproj_degridder(bank_c, grid_c, uvw1 / LAM, wbin)
+            return (jnp.sum(jnp.abs(jnp.real(v)))
+                    + jnp.sum(jnp.abs(jnp.imag(v))))
 
-        argsT = (
-            jnp.asarray(pT), jnp.asarray(wt.ravel(), jnp.float32),
-            jnp.asarray(a1T, jnp.int32), jnp.asarray(a2T, jnp.int32),
-            jnp.asarray(scr.real, jnp.float32),
-            jnp.asarray(scr.imag, jnp.float32),
-            jnp.asarray(rng.standard_normal(nT).astype(np.float32)),
-            jnp.asarray(rng.standard_normal(nT).astype(np.float32)),
-        )
-        rate = _rate(aw_idg_step, argsT, nT, k=3)
+        r = _rate(degrid_step, (bank_re, bank_im, g_re, g_im, uvw),
+                  N_VIS, k=2)
+        _extra({
+            "metric": "degridding (grid->vis predict, kernel-bank lookup)",
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "wproj"),
+        })
 
-        # ordered single-shot: a pair-major SINGLE-channel track stream
-        # ([nbl, ntime] — one transpose of the file raster) replaces the
-        # 7-operand comparison sort (VERDICT r3 #4, ordered=True prep).
-        # A multi-CHANNEL interleaved raster must NOT take this path:
-        # pair-major transposing [ntime, nbl, nch] fragments each track
-        # into ~nch·tiles runs (measured 33K runs > max_runs at this
-        # shape — 27% of the records silently overflow-dropped); the
-        # spectral driver bins once via idg_aw_run_records_multi instead.
-        # Drops poison the checksum here so a regression cannot hide.
-        def _ordered():
-            ntime1 = nT // nbl                     # 520: same n, 1 chan
-            ft1 = (np.arange(ntime1) / ntime1)[:, None]
-            u1 = u0[None, :, 0] + du[None, :, 0] * ft1       # [ntime1,nbl]
-            v1 = u0[None, :, 1] + du[None, :, 1] * ft1
-            w1 = w0[None, :] + dw[None, :] * ft1
-            n1 = u1.size
-            # pair-major [nbl, ntime1]: each pair's track is contiguous
-            p1 = np.zeros((n1, 3), np.float32)
-            p1[:, 0] = u1.T.ravel()
-            p1[:, 1] = v1.T.ravel()
-            a1o = np.repeat(ii, ntime1).astype(np.int32)
-            a2o = np.repeat(jj, ntime1).astype(np.int32)
-            w1r = w1.T.ravel().astype(np.float32)
-            vr1 = rng.standard_normal(n1).astype(np.float32)
-            vi1 = rng.standard_normal(n1).astype(np.float32)
+    _run_metric("bank degrid", 40, _m_degrid_bank)
 
-            @jax.jit
-            def aw_idg_ordered_step(p_j, w_j, a1_j, a2_j, sre, sim, vr,
-                                    vi, salt):
-                guv, nd = idg_aw_gridder(
-                    (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
-                    jax.lax.complex(vr, vi + salt),
-                    jax.lax.complex(sre, sim),
-                    theta=THETA, max_runs=max_runs, ordered=True,
-                )
-                return (jnp.sum(jnp.abs(jnp.real(guv)))
-                        + jnp.sum(jnp.abs(jnp.imag(guv)))
-                        + jnp.where(nd > 0, jnp.float32(jnp.nan), 0.0))
-
-            args1 = (jnp.asarray(p1), jnp.asarray(w1r),
-                     jnp.asarray(a1o), jnp.asarray(a2o),
-                     argsT[4], argsT[5], jnp.asarray(vr1),
-                     jnp.asarray(vi1))
-            return _rate(aw_idg_ordered_step, args1, n1, k=3)
-
-        rate_ordered = _best_effort("aw_idg_ordered", _ordered)
-
-        # sustained: the run sort amortized across a channel group (the
-        # from-records split — channels swap only the vis record rows)
-        def _sustained():
-            from ska_sdp_tpu.kernels.idg_aw_pallas import (
-                idg_aw_grid_from_records, idg_aw_run_records,
-            )
-
-            @jax.jit
-            def _prep(p_j, w_j, a1_j, a2_j, vr, vi):
-                return idg_aw_run_records(
-                    (n_grid, n_grid), p_j, a1_j, a2_j, w_j, vr, vi,
-                    max_runs=max_runs,
-                )
-
-            recs, st, en, y0c, x0c, i1c, i2c, _nd, _geo = _prep(
-                argsT[0], argsT[1], argsT[2], argsT[3], argsT[6], argsT[7])
-
-            @jax.jit
-            def sus_step(recs, st, en, y0c, x0c, i1c, i2c, sre, sim, salt):
-                recs = recs.at[0, 3, 0].add(salt)
-                gr, gi = idg_aw_grid_from_records(
-                    recs, st, en, y0c, x0c, i1c, i2c, (n_grid, n_grid),
-                    sre, sim, theta=THETA,
-                )
-                return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
-
-            return _rate(
-                sus_step,
-                (recs, st, en, y0c, x0c, i1c, i2c, argsT[4], argsT[5]),
-                nT, k=3,
-            )
-
-        # degridding (model predict with A-terms) through the streamed
-        # adjoint kernel
-        def _degrid():
-            from ska_sdp_tpu.kernels import idg_aw_degridder
-
-            g_re = jnp.asarray(
-                rng.standard_normal((n_grid, n_grid)).astype(np.float32))
-            g_im = jnp.asarray(
-                rng.standard_normal((n_grid, n_grid)).astype(np.float32))
-
-            @jax.jit
-            def dg_step(g_re, g_im, p_j, w_j, a1_j, a2_j, sre, sim, salt):
-                v, nd = idg_aw_degridder(
-                    (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
-                    jax.lax.complex(g_re + salt, g_im),
-                    jax.lax.complex(sre, sim),
-                    theta=THETA, max_runs=max_runs,
-                )
-                return (jnp.sum(jnp.abs(jnp.real(v)))
-                        + jnp.sum(jnp.abs(jnp.imag(v))) + 0.0 * nd)
-
-            return _rate(
-                dg_step,
-                (g_re, g_im, argsT[0], argsT[1], argsT[2], argsT[3],
-                 argsT[4], argsT[5]),
-                nT, k=3,
-            )
-
-        return (rate, rate_ordered,
-                _best_effort("aw_idg_sustained", _sustained),
-                _best_effort("aw_idg_degrid", _degrid))
-
-    _progress("metric 7/10: IDG-AW single-shot + sustained + degrid")
-    aw_idg_rate, aw_idg_ord, aw_idg_sus, aw_idg_dg = (
-        _best_effort("aw_idg", _idg_aw) or (0.0, 0.0, 0.0, 0.0))
-
-    # 4. full imaging step: scatter + hermitian + centered iFFT
-    @jax.jit
-    def full_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
-        bank_c = jax.lax.complex(bank_re, bank_im)
-        vis_c = jax.lax.complex(vis_re, vis_im + salt)
-        uvw1, vis1, wbin = _prep(uvw_l, vis_c)
-        g = wproj_gridder(bank_c, (n_grid, n_grid), uvw1 / LAM, wbin, vis1)
-        img = jnp.real(ifft_centered(make_grid_hermitian(g)))
-        return jnp.sum(jnp.abs(img))
-
-    _progress("metric 8/10: full imaging step")
-    full_rate = _best_effort("full", _rate, full_step, args, N_VIS, k=3)
-
-    # 5. sustained rates with binning amortized: real pipelines grid many
-    # channels per uvw binning (the record sort is ~30 ms/Mvis, a pure
-    # comparison-depth wall); published GPU gridder numbers (the 2 Gvis/s
-    # bar) also presort.  Records are pre-binned once; each step carries
-    # fresh per-channel vis in the record stream (dense row update).
-    sus_idg = None
-    try:
-        from ska_sdp_tpu.kernels.idg_pallas import (
-            idg_bin_records, idg_grid_from_records,
-        )
-
-        # complex dtypes must not cross the device boundary (axon PJRT):
-        # all prep runs inside jit on real planes
+    # -- 10. full imaging step: scatter + hermitian + centered iFFT
+    def _m_full_step():
         @jax.jit
-        def _iprep(uvw, vr, vi):
-            uvw1, vis1 = mirror_uvw(uvw, jax.lax.complex(vr, vi))
-            return idg_bin_records(
-                (n_grid, n_grid), uvw1 / LAM, uvw1[:, 2],
-                jnp.real(vis1), jnp.imag(vis1),
-            )
+        def full_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
+            bank_c = jax.lax.complex(bank_re, bank_im)
+            vis_c = jax.lax.complex(vis_re, vis_im + salt)
+            uvw1, vis1, wbin = _prep(uvw_l, vis_c)
+            g = wproj_gridder(bank_c, (n_grid, n_grid), uvw1 / LAM, wbin,
+                              vis1)
+            img = jnp.real(ifft_centered(make_grid_hermitian(g)))
+            return jnp.sum(jnp.abs(img))
 
-        i_recs, i_starts = _iprep(uvw, vis_re, vis_im)
+        r = _rate(full_step, wargs, N_VIS, k=2)
+        _extra({
+            "metric": ("full imaging step (bank scatter + hermitian + "
+                       "centered iFFT)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "wproj"),
+        })
 
-        @jax.jit
-        def sus_idg_step(recs, starts, salt):
-            # 1-element salt: defeats caching without paying a strided
-            # sub-128-minor dense update (~5-10 ms of real device time)
-            recs = recs.at[0, 3, 0].add(salt)
-            gr, gi = idg_grid_from_records(
-                recs, starts, (n_grid, n_grid), theta=THETA
-            )
-            return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
+    _run_metric("full imaging step", 60, _m_full_step)
 
-        _progress("extra: sustained IDG")
-        sus_idg = _rate(sus_idg_step, (i_recs, i_starts), N_VIS, k=3)
-    except Exception as e:  # sustained metrics are best-effort extras
-        import sys
-
-        print(f"sustained metrics skipped: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # 6. END-TO-END multi-channel imaging through the DRIVER (VERDICT r3
-    # #1: the sustained rates must be a pipeline capability, not a
-    # from-records microbench).  Wall-clock of the full spectral driver
-    # (HDF5 ingest -> channel-group planning -> one binning per group ->
-    # per-channel kernel passes -> per-channel iFFT -> cube) divided by
-    # nch * n records.  First call pays compile; second is timed.
-    def _e2e_multichannel():
+    # -- 11. END-TO-END multi-channel imaging through the DRIVER (VERDICT
+    #        r3 #1: sustained rates as a pipeline capability).
+    def _m_e2e_multichannel():
         import tempfile
 
         from ska_sdp_tpu.config import GridParams
@@ -562,21 +625,20 @@ def main() -> None:
                                               simulate_observation,
                                               write_vis_file)
         from ska_sdp_tpu.models import spectral
+        from ska_sdp_tpu.utils.timing import PhaseTimer
 
         nchan = 8
         d = tempfile.mkdtemp(prefix="ska_bench_mc_")
         icfg = _ICfg(grid=GridParams(theta=THETA, lam=LAM))
 
-        def make_file(seed):
+        def make_file(seed, ntime):
             cfg = SyntheticConfig(theta=THETA, lam=LAM, nant=NANT,
-                                  ntime=520, nchan=nchan, nsources=3,
+                                  ntime=ntime, nchan=nchan, nsources=3,
                                   seed=seed)
             obs = simulate_observation(cfg)
-            vpath = os.path.join(d, f"vis_{seed}.h5")
+            vpath = os.path.join(d, f"vis_{ntime}_{seed}.h5")
             write_vis_file(vpath, obs)
             return vpath, obs["n"]
-
-        from ska_sdp_tpu.utils.timing import PhaseTimer
 
         def run(vpath):
             timer = PhaseTimer(enabled=False)
@@ -588,104 +650,105 @@ def main() -> None:
             return dt, timer.times.get("compile+grid+fft", dt)
 
         # warmup compiles on one file; every TIMED run uses a FRESH file
-        # — the dev harness's tunnel serves repeated identical
-        # executions from a cache, so re-running the same data measures
-        # nothing (the same discovery that forces salted chains).  The
-        # dev tunnel's host<->device bandwidth measures ~5-40 MB/s, so
-        # the ~250 MB of vis h2d + cube d2h DOMINATE wall-clock here (a
-        # PCIe-local host moves the same volumes in <100 ms); the
-        # driver's own "compile+grid+fft" phase (dispatch -> cube
-        # resident on device) carries the compute-side rate.
-        vp0, n_rec = make_file(5)
+        # — the dev harness's tunnel serves repeated identical executions
+        # from a cache.  The dev tunnel's host<->device bandwidth
+        # measures ~5-40 MB/s, so the vis h2d + cube d2h DOMINATE
+        # wall-clock here (a PCIe-local host moves the same volumes in
+        # <100 ms); the driver's own "compile+grid+fft" phase carries
+        # the compute-side rate.
+        vp0, n_rec = make_file(5, 520)
         run(vp0)
-        (dt, t_dev) = min(run(make_file(6)[0]), run(make_file(7)[0]))
+        (dt, t_dev) = min(run(make_file(6, 520)[0]),
+                          run(make_file(7, 520)[0]))
         n_tot = nchan * n_rec
-        res = {
-            "wall": n_tot / dt,
-            "dev": n_tot / max(t_dev, 1e-3),
-            "note": f"device phase {t_dev:.2f}s of {dt:.2f}s wall",
-        }
+        _extra({
+            "metric": ("END-TO-END multi-channel IDG driver wall-clock "
+                       "(HDF5 ingest + group planning + binning + 8 "
+                       "channels + per-channel iFFT, 1.05M rec x 8ch; "
+                       "dev-harness tunnel I/O at ~5-40 MB/s dominates "
+                       "this raw number)"),
+            "value": round(n_tot / dt, 1), "unit": "vis/s",
+            **_util(n_tot / dt, "idg"),
+        })
+        _extra({
+            "metric": ("END-TO-END multi-channel IDG, device pipeline "
+                       "phase: weights + run binning + 8 channel kernels "
+                       "+ per-channel hermitian/iFFT, cube on device "
+                       f"(device phase {t_dev:.2f}s of {dt:.2f}s wall; "
+                       "the remainder is the dev tunnel's host I/O — "
+                       "<100 ms on a PCIe-local host)"),
+            "value": round(n_tot / max(t_dev, 1e-3), 1), "unit": "vis/s",
+            **_util(n_tot / max(t_dev, 1e-3), "idg"),
+        })
 
-        # long-observation shape: 4x the records per channel — the
-        # per-group fixed costs (sort, weights histogram, per-channel
-        # FFTs) amortize toward the sustained kernel rate
-        def make_long(seed):
-            cfg = SyntheticConfig(theta=THETA, lam=LAM, nant=NANT,
-                                  ntime=2080, nchan=nchan, nsources=3,
-                                  seed=seed)
-            obs = simulate_observation(cfg)
-            vpath = os.path.join(d, f"vis_long_{seed}.h5")
-            write_vis_file(vpath, obs)
-            return vpath, obs["n"]
-
-        try:
-            vpl, n_rec_l = make_long(5)
+        if FULL:
+            # long-observation shape: 4x records per channel — per-group
+            # fixed costs amortize toward the sustained kernel rate
+            vpl, n_rec_l = make_file(5, 2080)
             run(vpl)
-            (dt_l, t_dev_l) = min(run(make_long(6)[0]),
-                                  run(make_long(7)[0]))
+            (dt_l, t_dev_l) = min(run(make_file(6, 2080)[0]),
+                                  run(make_file(7, 2080)[0]))
             n_tot_l = nchan * n_rec_l
-            res["dev_long"] = n_tot_l / max(t_dev_l, 1e-3)
-            res["note_long"] = (f"{n_rec_l / 1e6:.1f}M records x "
-                                f"{nchan}ch; device phase {t_dev_l:.2f}s"
-                                f" of {dt_l:.2f}s wall")
-        except Exception as e:
-            import sys as _s
+            _extra({
+                "metric": ("END-TO-END multi-channel IDG, LONG "
+                           f"observation ({n_rec_l / 1e6:.1f}M rec x "
+                           f"{nchan}ch), device pipeline phase "
+                           f"({t_dev_l:.2f}s of {dt_l:.2f}s wall)"),
+                "value": round(n_tot_l / max(t_dev_l, 1e-3), 1),
+                "unit": "vis/s",
+                **_util(n_tot_l / max(t_dev_l, 1e-3), "idg"),
+            })
 
-            print(f"long-shape e2e skipped: {e}", file=_s.stderr)
-            res["dev_long"] = 0.0
-            res["note_long"] = "skipped"
-        return res
+    _run_metric("e2e multi-channel driver", 110, _m_e2e_multichannel)
 
-    _progress("metric 9/10: end-to-end multi-channel driver")
-    _e2e = (_best_effort("e2e_multichannel", _e2e_multichannel)
-            or {"wall": 0.0, "dev": 0.0, "note": "failed",
-                "dev_long": 0.0, "note_long": "failed"})
-    e2e_mc_rate = _e2e["wall"]
-    e2e_mc_ex = _e2e["dev"]
-    e2e_io_note = _e2e["note"]
-    e2e_long = _e2e["dev_long"]
-    e2e_long_note = _e2e["note_long"]
-
-    # 7. >VMEM-grid datapoint (VERDICT r3 #7): 4800^2-class grid through
-    # the tiled (non-resident) kernels — the large-grid story measured,
-    # not argued.
-    def _large_grid():
-        theta_lg = 0.016                          # 4800^2 at lam=300000
-        n_lg = int(round(theta_lg * LAM))
+    # -- 12. fused AW-projection (on-the-fly A1⊛A2⊛W; random-uv layout —
+    #        IDG-AW covers the production track layout)
+    def _m_aw_fused():
+        a1 = jnp.asarray(rng.integers(0, NANT, N_VIS_AW).astype(np.int32))
+        a2 = jnp.asarray(rng.integers(0, NANT, N_VIS_AW).astype(np.int32))
+        akr = jnp.asarray(ak_re)
+        aki = jnp.asarray(ak_im)
 
         @jax.jit
-        def lg_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
-            bank_c = jax.lax.complex(bank_re, bank_im)
+        def aw_step(bank_re, bank_im, ak_re, ak_im, uvw_l, a1, a2,
+                    vis_re, vis_im, salt):
+            wk = jax.lax.complex(bank_re, bank_im)
+            ak = jax.lax.complex(ak_re, ak_im)
             vis_c = jax.lax.complex(vis_re, vis_im + salt)
-            uvw1, vis1 = mirror_uvw(uvw_l, vis_c)
-            wbin = find_closest(centers, uvw1[:, 2])
-            g = wproj_gridder(bank_c, (n_lg, n_lg), uvw1 / LAM, wbin, vis1)
+            uvw1, vis1, wbin = _prep(uvw_l, vis_c)
+            g = aw_gridder(wk, ak, jnp.zeros((n_grid, n_grid),
+                                             jnp.complex64),
+                           uvw1 / LAM, wbin, a1, a2, vis1)
             return (jnp.sum(jnp.abs(jnp.real(g)))
                     + jnp.sum(jnp.abs(jnp.imag(g))))
 
-        return _rate(lg_step, args, N_VIS, k=3)
+        r = _rate(aw_step,
+                  (bank_re, bank_im, akr, aki, uvw[:N_VIS_AW], a1, a2,
+                   vis_re[:N_VIS_AW], vis_im[:N_VIS_AW]),
+                  N_VIS_AW, k=2)
+        _extra({
+            "metric": ("fused AW-projection (on-the-fly A1*A2*W, 64 ants, "
+                       "random-uv layout; default split3 tier — IDG-AW "
+                       "covers the production track layout)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "aw_fused"),
+        })
 
-    _progress("metric 10/10: 4800^2 large grid")
-    large_grid_rate = _best_effort("large_grid", _large_grid)
+    _run_metric("fused AW", 40, _m_aw_fused)
 
-    # 7b. the same >VMEM grid through the BANDED streamed IDG-AW path
-    # (K row bands each VMEM-resident, one streamed pass per band)
-    def _large_grid_banded():
+    # -- 13. >VMEM grid (4800^2) through the BANDED streamed IDG-AW path
+    def _m_large_banded():
         from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
             idg_aw_grid_banded)
-        from ska_sdp_tpu.ops.idg_aw import aw_screens_host
 
         theta_lg = 0.016
         n_lg = int(round(theta_lg * LAM))
         rngB = np.random.default_rng(11)
-        ii, jj = np.triu_indices(NANT, k=1)
-        nbl = ii.shape[0]
-        ntime = 520
-        u0 = rngB.uniform(-0.40, 0.40, (nbl, 2))
-        du = rngB.uniform(-30.0 / n_lg, 30.0 / n_lg, (nbl, 2))
-        ft = (np.arange(ntime) / ntime)[:, None]
-        ub = u0[None, :, 0] + du[None, :, 0] * ft
-        vb = u0[None, :, 1] + du[None, :, 1] * ft
+        ntimeB = 520
+        u0B = rngB.uniform(-0.40, 0.40, (nbl, 2))
+        duB = rngB.uniform(-30.0 / n_lg, 30.0 / n_lg, (nbl, 2))
+        ftB = (np.arange(ntimeB) / ntimeB)[:, None]
+        ub = u0B[None, :, 0] + duB[None, :, 0] * ftB
+        vb = u0B[None, :, 1] + duB[None, :, 1] * ftB
         nB = ub.size
         pB = np.zeros((nB, 3), np.float32)
         pB[:, 0] = ub.ravel()
@@ -707,7 +770,7 @@ def main() -> None:
             return (jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
                     + jnp.where(nd > 0, jnp.float32(jnp.nan), 0.0))
 
-        return _rate(
+        r = _rate(
             lg_aw_step,
             (jnp.asarray(pB), jnp.asarray(wB),
              jnp.asarray(a1B, jnp.int32), jnp.asarray(a2B, jnp.int32),
@@ -715,122 +778,98 @@ def main() -> None:
              jnp.asarray(rngB.standard_normal(nB).astype(np.float32)),
              jnp.asarray(scrB.real.astype(np.float32)),
              jnp.asarray(scrB.imag.astype(np.float32))),
-            nB, k=3,
+            nB, k=2,
+        )
+        _extra({
+            "metric": ("IDG-AW at 4800^2 (>VMEM grid, BANDED streamed "
+                       "path: K VMEM-resident row bands; drops poison "
+                       "the checksum)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("4800^2 banded IDG-AW", 80, _m_large_banded)
+
+    # -- 14. plain IDG at 4800^2 (>VMEM grid) through dispatch
+    def _m_large_idg():
+        theta_lg = 0.016
+        n_lg = int(round(theta_lg * LAM))
+
+        @jax.jit
+        def lg_idg_step(uvw_l, vis_re, vis_im, salt):
+            vis_c = jax.lax.complex(vis_re, vis_im + salt)
+            uvw1, vis1 = mirror_uvw(uvw_l, vis_c)
+            g = idg_gridder((n_lg, n_lg), uvw1 / LAM, uvw1[:, 2], vis1,
+                            theta=theta_lg)
+            return (jnp.sum(jnp.abs(jnp.real(g)))
+                    + jnp.sum(jnp.abs(jnp.imag(g))))
+
+        r = _rate(lg_idg_step, (uvw, vis_re, vis_im), N_VIS, k=2)
+        _extra({
+            "metric": ("image-domain gridding at 4800^2 (>VMEM grid, "
+                       "dispatch route)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("4800^2 plain IDG", 80, _m_large_idg)
+
+    # -- 15. sustained plain IDG (binning amortized across channel group)
+    def _m_sustained_idg():
+        from ska_sdp_tpu.kernels.idg_pallas import (
+            idg_bin_records, idg_grid_from_records,
         )
 
-    _progress("metric 10b: 4800^2 banded IDG-AW")
-    large_banded_rate = _best_effort("large_grid_banded",
-                                     _large_grid_banded)
+        @jax.jit
+        def _iprep(uvw, vr, vi):
+            uvw1, vis1 = mirror_uvw(uvw, jax.lax.complex(vr, vi))
+            return idg_bin_records(
+                (n_grid, n_grid), uvw1 / LAM, uvw1[:, 2],
+                jnp.real(vis1), jnp.imag(vis1),
+            )
 
-    print(
-        json.dumps(
-            {
-                "metric": "visibilities gridded/sec/chip (SKA1_Low w-proj, 2400^2 grid, qpx=8, 15^2 kernels, complex64)",
-                "value": round(wproj_rate, 1),
-                "unit": "vis/s",
-                "vs_baseline": round(wproj_rate / H100_CLASS_VIS_PER_SEC, 4),
-                **_util(wproj_rate, "wproj"),
-                "extra_metrics": [
-                    {
-                        "metric": "degridding (grid->vis predict, same shape)",
-                        "value": round(degrid_rate, 1),
-                        "unit": "vis/s",
-                        **_util(degrid_rate, "wproj"),
-                    },
-                    {
-                        "metric": "fused AW-projection (on-the-fly A1*A2*W, 64 ants; default split3 tier, 3.4e-6 rel err vs XLA oracle — SKA_SDP_TPU_AW_PRECISION=fast is ~1.4x faster at 2.5e-3)",
-                        "value": round(aw_rate, 1),
-                        "unit": "vis/s",
-                        **_util(aw_rate, "aw_fused"),
-                    },
-                    {
-                        "metric": "full imaging step (scatter + hermitian + centered iFFT)",
-                        "value": round(full_rate, 1),
-                        "unit": "vis/s",
-                        **_util(full_rate, "wproj"),
-                    },
-                    {
-                        "metric": "image-domain gridding (MXU subgrid matmuls, exact continuous-w placement)",
-                        "value": round(idg_rate, 1),
-                        "unit": "vis/s",
-                        **_util(idg_rate, "idg"),
-                    },
-                    {
-                        "metric": "IDG degridding / predict (exact continuous-w adjoint)",
-                        "value": round(idg_degrid_rate, 1),
-                        "unit": "vis/s",
-                        **_util(idg_degrid_rate, "idg"),
-                    },
-                    {
-                        "metric": "IDG-AW (image-domain A-screens, pair-chunked subgrids, baseline-track layout, 64 ants)",
-                        "value": round(aw_idg_rate, 1),
-                        "unit": "vis/s",
-                        **_util(aw_idg_rate, "idg"),
-                    },
-                    {
-                        "metric": "IDG-AW ordered single-shot (pair-major transpose replaces the record sort)",
-                        "value": round(aw_idg_ord, 1),
-                        "unit": "vis/s",
-                        **_util(aw_idg_ord, "idg"),
-                    },
-                    {
-                        "metric": "IDG-AW degridding / predict with A-terms (streamed adjoint kernel)",
-                        "value": round(aw_idg_dg, 1),
-                        "unit": "vis/s",
-                        **_util(aw_idg_dg, "idg"),
-                    },
-                    {
-                        "metric": "SUSTAINED IDG-AW (run sort amortized across channel group)",
-                        "value": round(aw_idg_sus, 1),
-                        "unit": "vis/s",
-                        **_util(aw_idg_sus, "idg"),
-                    },
-                    {
-                        "metric": "END-TO-END multi-channel IDG (driver wall-clock: HDF5 ingest + group planning + binning + 8 channels + per-channel iFFT, 1.05M records x 8ch; dev-harness tunnel I/O at ~20-40 MB/s dominates this raw number)",
-                        "value": round(e2e_mc_rate, 1),
-                        "unit": "vis/s",
-                        **_util(e2e_mc_rate, "idg"),
-                    },
-                    {
-                        "metric": f"END-TO-END multi-channel IDG, device pipeline phase: weights + run binning + 8 channel kernels + per-channel hermitian/iFFT, cube on device ({e2e_io_note}; the wall remainder is the dev tunnel's ~5-40 MB/s host I/O — <100 ms on a PCIe-local host)",
-                        "value": round(e2e_mc_ex, 1),
-                        "unit": "vis/s",
-                        **_util(e2e_mc_ex, "idg"),
-                    },
-                    {
-                        "metric": f"END-TO-END multi-channel IDG, LONG observation, device pipeline phase ({e2e_long_note})",
-                        "value": round(e2e_long, 1),
-                        "unit": "vis/s",
-                        **_util(e2e_long, "idg"),
-                    },
-                    {
-                        "metric": "w-projection at 4800^2 (>VMEM grid, tiled kernel path)",
-                        "value": round(large_grid_rate, 1),
-                        "unit": "vis/s",
-                        **_util(large_grid_rate, "wproj"),
-                    },
-                    {
-                        "metric": "IDG-AW at 4800^2 (>VMEM grid, BANDED streamed path: K VMEM-resident row bands, drops poison the checksum)",
-                        "value": round(large_banded_rate, 1),
-                        "unit": "vis/s",
-                        **_util(large_banded_rate, "idg"),
-                    },
-                    {
-                        "metric": "IDG accuracy vs direct-DFT truth (rel err, central 75% FOV; see idg_fov_pad_plan for the full-FOV option)",
-                        "value": round(idg_acc, 7),
-                        "unit": "rel_err",
-                    },
-                ] + ([
-                    {
-                        "metric": "SUSTAINED image-domain gridding (binning amortized across channel group)",
-                        "value": round(sus_idg, 1),
-                        "unit": "vis/s",
-                        **_util(sus_idg, "idg"),
-                    },
-                ] if sus_idg else []),
-            }
-        )
-    )
+        i_recs, i_starts = _iprep(uvw, vis_re, vis_im)
+
+        @jax.jit
+        def sus_idg_step(recs, starts, salt):
+            recs = recs.at[0, 3, 0].add(salt)
+            gr, gi = idg_grid_from_records(
+                recs, starts, (n_grid, n_grid), theta=THETA
+            )
+            return jnp.sum(jnp.abs(gr)) + jnp.sum(jnp.abs(gi))
+
+        r = _rate(sus_idg_step, (i_recs, i_starts), N_VIS, k=2)
+        _extra({
+            "metric": ("SUSTAINED image-domain gridding (binning "
+                       "amortized across channel group)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("sustained plain IDG", 40, _m_sustained_idg)
+
+    # -- 16. w-projection bank path at 4800^2 (tiled kernel fallback)
+    def _m_large_wproj():
+        theta_lg = 0.016
+        n_lg = int(round(theta_lg * LAM))
+
+        @jax.jit
+        def lg_step(bank_re, bank_im, uvw_l, vis_re, vis_im, salt):
+            bank_c = jax.lax.complex(bank_re, bank_im)
+            vis_c = jax.lax.complex(vis_re, vis_im + salt)
+            uvw1, vis1, wbin = _prep(uvw_l, vis_c)
+            g = wproj_gridder(bank_c, (n_lg, n_lg), uvw1 / LAM, wbin, vis1)
+            return (jnp.sum(jnp.abs(jnp.real(g)))
+                    + jnp.sum(jnp.abs(jnp.imag(g))))
+
+        r = _rate(lg_step, wargs, N_VIS, k=2)
+        _extra({
+            "metric": ("w-projection bank path at 4800^2 (>VMEM grid, "
+                       "tiled kernel)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "wproj"),
+        })
+
+    _run_metric("4800^2 bank w-proj", 60, _m_large_wproj)
+
+    _progress(f"done in {time.time() - T0:.0f}s")
+    _emit()
 
 
 if __name__ == "__main__":

@@ -647,6 +647,122 @@ def w_gridding_multi(
     return mx, img_mean, cube
 
 
+def idg_gridding_multi_sharded(
+    datfile: str,
+    channels: int,
+    n: Optional[int] = None,
+    outfile: Optional[str] = None,
+    config: ImagingConfig = ImagingConfig(),
+    timer: Optional[PhaseTimer] = None,
+    subgrid: int = 64,
+    taper_beta: float = 12.0,
+    mesh=None,
+):
+    """Multi-chip multi-channel IDG imaging (VERDICT r4 #5): records
+    shard over the mesh's visibility axes, each channel grids
+    vis-parallel with one psum per channel merging the partial grids
+    (``parallel.sharded.make_sharded_spectral_idg_step``).
+
+    Semantics match the local driver's exact-geometry oracle
+    (``_idg_multi_pipeline`` with ``use_pallas=False``): channel c is
+    gridded at its OWN dilated coordinates — no shared-binning drift
+    approximation — while uniform weights stay GROUP-shared (one
+    globally-psum'd histogram at the group's reference channel, the
+    same convention as the local driver).  Records are padded to a mesh
+    multiple with zero-weight masked entries, so any record count is
+    exact.
+
+    Multi-process: every process calls this with the same arguments
+    under ``jax.distributed`` (``parallel.initialize``); each passes its
+    process-local slice and the cube is replicated to all.  Only
+    process 0 writes ``outfile``.  Returns (continuum max, continuum
+    image, cube [nch, n, n]).
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharded import make_sharded_spectral_idg_step
+
+    timer = timer or PhaseTimer()
+    prec = config.precision
+    theta, lam = config.grid.theta, config.grid.lam
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = int(mesh.devices.size)
+    axes = tuple(mesh.axis_names)
+
+    with timer.phase("ingest/vis"):
+        data = load_vis_data(datfile)
+    n = n if n is not None else data.vis.shape[0]
+    nch = min(channels, data.frequencies.shape[0])
+    freqs = np.asarray(data.frequencies[:nch], np.float64)
+    with timer.phase("host/prep"):
+        n_pad = ((n + ndev - 1) // ndev) * ndev
+        uvw_h = np.zeros((n_pad, 3), prec.np_real)
+        uvw_h[:n] = np.asarray(data.uvw[:n], prec.np_real)
+        mask_h = np.zeros((n_pad,), prec.np_real)
+        mask_h[:n] = 1.0
+        vis_h = np.zeros((nch, n_pad), prec.np_complex)
+        vis_h[:, :n] = data.vis_chan[:n, :nch].T
+        # group planning shares the weights histogram exactly like the
+        # local driver (the gridding itself is per-channel exact here)
+        n_grid = int(round(theta * lam))
+        ext = uv_extent_cells(data.uvw[:n], float(freqs.max()), lam,
+                              n_grid)
+        slack = (subgrid - 15) // 2 - subgrid // 4 - 1
+        groups = plan_channel_groups(freqs, ext, max(slack, 1))
+
+    with timer.phase("h2d/shard"):
+        vspec = NamedSharding(mesh, _P(axes))
+        cspec = NamedSharding(mesh, _P(None, axes))
+        nproc = _jax.process_count()
+        if nproc > 1:
+            per = n_pad // nproc
+            pid = _jax.process_index()
+            sl = slice(pid * per, (pid + 1) * per)
+            uvw_d = _jax.make_array_from_process_local_data(
+                vspec, np.ascontiguousarray(uvw_h[sl]), (n_pad, 3))
+            mask_d = _jax.make_array_from_process_local_data(
+                vspec, np.ascontiguousarray(mask_h[sl]), (n_pad,))
+            vr_d = _jax.make_array_from_process_local_data(
+                cspec, np.ascontiguousarray(vis_h.real[:, sl]),
+                (nch, n_pad))
+            vi_d = _jax.make_array_from_process_local_data(
+                cspec, np.ascontiguousarray(vis_h.imag[:, sl]),
+                (nch, n_pad))
+        else:
+            uvw_d = _jax.device_put(uvw_h, vspec)
+            mask_d = _jax.device_put(mask_h, vspec)
+            vr_d = _jax.device_put(np.ascontiguousarray(vis_h.real), cspec)
+            vi_d = _jax.device_put(np.ascontiguousarray(vis_h.imag), cspec)
+
+    cube = np.zeros((nch, n_grid, n_grid), prec.np_real)
+    with timer.phase("compile+grid+fft"):
+        steps = {}
+        imgs = []
+        for (i, j, f_ref, _drift) in groups:
+            g = j - i
+            if g not in steps:
+                steps[g] = make_sharded_spectral_idg_step(
+                    mesh, theta, lam, g, subgrid=subgrid,
+                    taper_beta=taper_beta)
+            ratios = jnp.asarray((freqs[i:j] / f_ref), prec.np_real)
+            img = steps[g](uvw_d, mask_d,
+                           jnp.asarray(f_ref, prec.np_real), ratios,
+                           vr_d[i:j], vi_d[i:j])
+            imgs.append((i, j, img))
+        _jax.block_until_ready([im for (_, _, im) in imgs])
+    with timer.phase("d2h/cube"):
+        for (i, j, img) in imgs:
+            cube[i:j] = np.asarray(img)
+    if _jax.process_index() == 0:
+        mx, img_mean = _finish_cube(cube, outfile, timer)
+    else:  # non-zero processes return the same numbers, write nothing
+        mx, img_mean = _finish_cube(cube, None, timer)
+    return mx, img_mean, cube
+
+
 def _exact_weights() -> bool:
     """SKA_SDP_TPU_EXACT_WEIGHTS=1: per-channel uniform-weight
     histograms on each channel's own scaled uv cells (see

@@ -5,6 +5,7 @@ from .sharded import (
     make_sharded_idg_aw_step,
     make_sharded_idg_step,
     make_sharded_predict_step,
+    make_sharded_spectral_idg_step,
     make_sharded_wproj_step,
     make_sharded_wproj_step_gridfft,
     make_sharded_wproj_step_gridscatter,

@@ -369,6 +369,79 @@ def make_sharded_wproj_step_gridscatter(mesh: Mesh, theta: float, lam: int,
     return jax.jit(fn)
 
 
+def make_sharded_spectral_idg_step(mesh: Mesh, theta: float, lam: int,
+                                   g: int, subgrid: int = 64,
+                                   taper_beta: float = 12.0):
+    """Jitted sharded multi-channel IDG group step (VERDICT r4 #5):
+    (uvw_m, mask, f_ref, ratios, vis_re_mc, vis_im_mc) →
+    taper-corrected dirty-image cube [g, n, n].
+
+    The spectral driver's group pipeline (``models/spectral.py``,
+    ``_idg_multi_pipeline`` semantics) scaled out vis-parallel: records
+    shard over the ``vis`` axis, each chip grids its shard per channel
+    (channel c's coordinates are the reference channel's dilated by
+    ``ratios[c]`` — the same elementwise geometry update as the local
+    driver), and one psum per channel merges the partial grids.
+    Hermitian completion + per-channel iFFT + taper correction run
+    replicated (the cube is the deliverable on every host).
+
+    Group-shared uniform weighting matches the local driver exactly:
+    ONE sample-density histogram at the group's reference channel,
+    globally psum'd.  ``mask`` (1.0 real record, 0.0 padding) makes
+    shard-padding to a mesh multiple exact: padded records neither
+    count in the histogram nor carry weight.
+    """
+    from ..kernels import idg_gridder
+    from ..ops.idg import kaiser_taper, taper_fine
+
+    n_grid = int(round(theta * lam))
+
+    def local(uvw, mask, f_ref, ratios, vis_re_mc, vis_im_mc):
+        vis_mc = jax.lax.complex(vis_re_mc, vis_im_mc)
+        uvw0 = uvw_lambda(f_ref, uvw)
+        # group-shared uniform weights: psum'd masked histogram at the
+        # reference channel (≡ ops.doweight = 1/cell-count for real
+        # records; padded records get weight 0)
+        from ..ops.coords import frac_coords
+
+        p = uvw0 / lam
+        x, _, y, _ = frac_coords((n_grid, n_grid), 1, p)
+        flat = (y * n_grid + x).ravel()
+        counts = _varying_zeros((n_grid * n_grid,),
+                                uvw.dtype).at[flat].add(mask)
+        counts = jax.lax.psum(counts, VIS_AXIS)
+        wt = (mask / jnp.maximum(counts[flat], 1.0)).astype(vis_mc.dtype)
+
+        uvw1, _ = mirror_uvw(uvw0, vis_mc[0])
+        neg = uvw0[:, 1] < 0
+        vis1 = jnp.where(neg[None, :], jnp.conj(vis_mc), vis_mc) \
+            * wt[None, :]
+
+        def body(_, rv):
+            r, vc = rv
+            part = idg_gridder(
+                (n_grid, n_grid), uvw1 * r / lam, uvw1[:, 2] * r, vc,
+                theta=theta, subgrid=subgrid, taper_beta=taper_beta,
+            )
+            return 0, jax.lax.psum(part, VIS_AXIS)
+
+        _, grids = jax.lax.scan(
+            body, 0, (ratios.astype(uvw.dtype), vis1))
+        img = jnp.real(ifft_centered(make_grid_hermitian(grids)))
+        tf = taper_fine(n_grid, subgrid,
+                        kaiser_taper(subgrid, taper_beta)).astype(img.dtype)
+        return img / (tf[None, :, None] * tf[None, None, :])
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(VIS_AXIS), P(VIS_AXIS), P(), P(),
+                  P(None, VIS_AXIS), P(None, VIS_AXIS)),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_idg_aw_step(mesh: Mesh, theta: float, lam: int,
                              subgrid: int = 64, taper_beta: float = 12.0,
                              max_runs: int = 4096):

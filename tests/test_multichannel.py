@@ -448,6 +448,59 @@ class TestStreamingChannelZero:
         assert freq == float(data.frequency)
 
 
+class TestShardedSpectral:
+    """Multi-chip spectral driver (VERDICT r4 #5): vis-parallel within
+    each channel group, per-channel partial grids psum'd over the mesh."""
+
+    def test_sharded_cube_matches_local_driver(self, spectral_dataset,
+                                               imaging_config):
+        paths, obs, _ = spectral_dataset
+        n_grid = int(round(CFG.theta * CFG.lam))
+        n = obs["n"] - 3          # not a mesh multiple: exercises the
+        #                           zero-weight mask padding
+        mx_l, img_l, cube_l = spectral.idg_gridding_multi(
+            paths["vis"], CFG.nchan, n=n, config=imaging_config)
+        mx_s, img_s, cube_s = spectral.idg_gridding_multi_sharded(
+            paths["vis"], CFG.nchan, n=n, config=imaging_config)
+        assert cube_s.shape == cube_l.shape
+        for c in range(CFG.nchan):
+            assert _crop_rel(cube_s[c], cube_l[c], n_grid) < 1e-8, c
+        assert mx_s == pytest.approx(mx_l, rel=1e-8)
+
+    def test_sharded_step_group_weight_parity(self, spectral_dataset,
+                                              imaging_config):
+        """The step's psum'd masked histogram reproduces the local
+        group-shared doweight exactly (padded records weightless)."""
+        from ska_sdp_tpu.parallel.mesh import make_mesh
+        from ska_sdp_tpu.parallel.sharded import (
+            make_sharded_spectral_idg_step)
+
+        paths, obs, _ = spectral_dataset
+        prec = imaging_config.precision
+        n = 8 * 40
+        f_ref = float(np.mean(obs["frequency"][:2]))
+        ratios = (obs["frequency"][:2] / f_ref).astype(prec.np_real)
+        vis_mc = obs["vis"][:, :, :2].reshape(-1, 2).T[:, :n]
+        uvw = np.asarray(obs["uvw"][:n], prec.np_real)
+        step = make_sharded_spectral_idg_step(
+            make_mesh(), CFG.theta, CFG.lam, g=2, subgrid=32)
+        cube = np.asarray(step(
+            jnp.asarray(uvw), jnp.ones((n,), prec.np_real),
+            jnp.asarray(f_ref, prec.np_real), jnp.asarray(ratios),
+            jnp.asarray(vis_mc.real.astype(prec.np_real)),
+            jnp.asarray(vis_mc.imag.astype(prec.np_real))))
+        ref, _ = spectral._idg_multi_pipeline(
+            jnp.asarray(uvw), np.asarray(f_ref, prec.np_real),
+            jnp.asarray(ratios),
+            jnp.asarray(vis_mc.real.astype(prec.np_real)),
+            jnp.asarray(vis_mc.imag.astype(prec.np_real)),
+            theta=CFG.theta, lam=CFG.lam, g=2, subgrid=32,
+            use_pallas=False, exact_weights=False, drift_cells=0)
+        n_grid = int(round(CFG.theta * CFG.lam))
+        for c in range(2):
+            assert _crop_rel(cube[c], np.asarray(ref)[c], n_grid) < 1e-8
+
+
 class TestCLIChannels:
     def test_cli_images_four_channels(self, tmp_path):
         import subprocess
@@ -479,3 +532,74 @@ class TestCLIChannels:
         # CLI default precision is single: /img is the f32 channel mean
         np.testing.assert_allclose(img, cube.mean(axis=0),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_cli_distributed_channels(self, tmp_path):
+        """``--distributed --mode idg --channels 2`` runs the sharded
+        spectral driver over the 8-device virtual mesh (VERDICT r4 #5)
+        and matches the single-device CLI run."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "8", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600", "--nchan", "2"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        out_s = str(tmp_path / "cube_sharded.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "idg",
+             "-i", d, "--all", "--backend", "cpu", "--channels", "2",
+             "--distributed", "-o", out_s, "--theta", "0.05",
+             "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "8 device(s)" in r.stdout
+        assert "imaged 2 channels" in r.stdout
+        out_l = str(tmp_path / "cube_local.h5")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "idg",
+             "-i", d, "--all", "--backend", "cpu", "--channels", "2",
+             "-o", out_l, "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        cube_s = h5.read_dataset(out_s, schema.IMG_CUBE_DATASET)
+        cube_l = h5.read_dataset(out_l, schema.IMG_CUBE_DATASET)
+        assert cube_s.shape == cube_l.shape == (2, 80, 80)
+        for c in range(2):
+            assert _crop_rel(cube_s[c], cube_l[c], 80) < 1e-4
+
+    def test_cli_distributed_single_channel_idg(self, tmp_path):
+        """``--distributed --mode idg`` (single channel) runs the sharded
+        IDG step end-to-end from the CLI."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["PYTHONPATH"] = os.getcwd()
+        d = str(tmp_path / "obs")
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--make-data", d,
+             "--nant", "6", "--ntime", "8", "--nw", "4", "--qpx", "2",
+             "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run(
+            [sys.executable, "-m", "ska_sdp_tpu.cli", "--mode", "idg",
+             "-i", d, "--all", "--backend", "cpu", "--distributed",
+             "--subgrid", "32", "--theta", "0.05", "--lam", "1600"],
+            capture_output=True, text=True, env=env,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "image max:" in r.stdout
