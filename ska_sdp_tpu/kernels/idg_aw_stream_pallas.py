@@ -56,6 +56,57 @@ def _tier() -> str:
     return t if t in ("split3", "exact") else "split3"
 
 
+def _trig() -> str:
+    """Phase-evaluation mode (``SKA_SDP_TPU_IDG_AW_TRIG``): ``fast``
+    (default — :func:`_sincos_fast`, at the f32 phase-representation
+    floor) or ``exact`` (the hardware transcendental lowering).  The
+    ``exact`` PRECISION tier always uses exact trig."""
+    t = os.environ.get("SKA_SDP_TPU_IDG_AW_TRIG", "fast")
+    return t if t in ("fast", "exact") else "fast"
+
+
+def _sincos_fast(ph):
+    """(sin, cos) pair via Cody-Waite range reduction + order-15/14
+    Taylor Horner — ~22 VPU ops per element pair vs the ~105 the
+    hardware transcendental lowering measures on v5e (the round-4
+    ablation's 3.5 ms/Mvis trig wall; VERDICT r4 #6).
+
+    Accuracy: at |ph| ≤ 110 (the streamed kernels' range: |q·2πdy/S| ≤
+    32π plus the small quadratic w term) the max error vs f64 is
+    4.5e-6 — the same as the 3.8e-6 error already embedded in
+    REPRESENTING the phase in f32, i.e. this is at the input's own
+    precision floor, not an approximation tier (measured
+    /tmp-prototype, asserted in tests/test_kernels.py).  Larger |ph|
+    degrades exactly as the f32 input representation does.
+    """
+    import math
+
+    f32 = jnp.float32
+    k = jnp.round(ph * f32(1.0 / (2.0 * np.pi)))
+    c1 = f32(6.28125)                  # 2π split; c1 exact in f32
+    c2 = f32(2.0 * np.pi - 6.28125)
+    x = ph - k * c1 - k * c2           # |x| ≤ π
+    x2 = x * x
+    cc = [f32((-1) ** m / math.factorial(2 * m)) for m in range(8)]
+    sc = [f32((-1) ** m / math.factorial(2 * m + 1)) for m in range(8)]
+    c = cc[-1]
+    for a in cc[-2::-1]:
+        c = a + x2 * c
+    s = sc[-1]
+    for a in sc[-2::-1]:
+        s = a + x2 * s
+    return x * s, c
+
+
+def _phase_factors(ph_y, ph_x, trig: str):
+    """The four phase matrices (ey_re, ey_im, ex_re, ex_im)."""
+    if trig == "fast":
+        ey_im, ey_re = _sincos_fast(ph_y)
+        ex_im, ex_re = _sincos_fast(ph_x)
+        return ey_re, ey_im, ex_re, ex_im
+    return jnp.cos(ph_y), jnp.sin(ph_y), jnp.cos(ph_x), jnp.sin(ph_x)
+
+
 def block_run_ranges(starts, ends, n_pad: int, chunk: int):
     """Per-block run index ranges [rs[b], re[b]) for the streamed kernel.
 
@@ -106,7 +157,7 @@ def _dft_factors(S: int, taper_beta: float):
 def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
             re_ref, recs_hbm, sr_ref, si_ref, f2_ref, hr_ref,
             hi_ref, out_ref, recs_v, acc, sems, *, S: int, theta: float,
-            theta_x: float, chunk: int, tier: str):
+            theta_x: float, chunk: int, tier: str, trig: str):
     C = chunk
     nblk = recs_hbm.shape[0]
     f32, bf = jnp.float32, jnp.bfloat16
@@ -210,10 +261,7 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
 
             ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, C)
             ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
-            ey_re = jnp.cos(ph_y)
-            ey_im = jnp.sin(ph_y)
-            ex_re = jnp.cos(ph_x)
-            ex_im = jnp.sin(ph_x)
+            ey_re, ey_im, ex_re, ex_im = _phase_factors(ph_y, ph_x, trig)
 
             u_re = ey_re * vr - ey_im * vi
             u_im = ey_re * vi + ey_im * vr
@@ -309,6 +357,7 @@ def idg_aw_grid_from_records_stream(recs, starts, ends, y0, x0, ia1, ia2,
     HP, WP2 = _geometry(N, Nx, S)
     PADM = S
     tier = _tier()
+    trig = "exact" if tier == "exact" else _trig()
 
     _F, Hr, Hi, F2, _Pe, _Po = _dft_factors(S, taper_beta)
 
@@ -336,7 +385,8 @@ def idg_aw_grid_from_records_stream(recs, starts, ends, y0, x0, ia1, ia2,
 
     out = pl.pallas_call(
         functools.partial(_kernel, S=S, theta=theta,
-                          theta_x=theta * Nx / N, chunk=chunk, tier=tier),
+                          theta_x=theta * Nx / N, chunk=chunk, tier=tier,
+                          trig=trig),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((HP, WP2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -405,7 +455,7 @@ def _degrid_kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
                    rs_ref, re_ref, recs_hbm, grid_ref, sr_ref, si_ref,
                    fre_ref, fim_ref, pe_ref, po_ref, out_hbm, recs_v,
                    stage, acc, sems, *, S: int, theta: float,
-                   theta_x: float, chunk: int, tier: str):
+                   theta_x: float, chunk: int, tier: str, trig: str):
     """Block-major streamed IDG-AW degridding (adjoint of `_kernel`):
     walk the sorted record stream once; when a run STARTS inside a block
     its subgrid image is computed (window read + adjoint sandwich +
@@ -510,10 +560,7 @@ def _degrid_kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
             w = recs_v[slot, 2:3, :]
             ph_y = two_pi_s * cq * dy - pi_ * lq2y * w     # (S, C)
             ph_x = two_pi_s * cq * dx - pi_ * lq2x * w
-            ey_re = jnp.cos(ph_y)
-            ey_im = jnp.sin(ph_y)
-            ex_re = jnp.cos(ph_x)
-            ex_im = jnp.sin(ph_x)
+            ey_re, ey_im, ex_re, ex_im = _phase_factors(ph_y, ph_x, trig)
 
             def seg_body(k, rows):
                 rows_re, rows_im = rows
@@ -590,6 +637,7 @@ def idg_aw_degrid_stream(grid_shape, p, a1, a2, w, grid_re, grid_im,
     HP, WP2 = _geometry(N, Nx, S)
     PADM = S
     tier = _tier()
+    trig = "exact" if tier == "exact" else _trig()
 
     inter = jnp.stack([grid_re.astype(jnp.float32),
                        grid_im.astype(jnp.float32)], axis=-1
@@ -626,7 +674,8 @@ def idg_aw_degrid_stream(grid_shape, p, a1, a2, w, grid_re, grid_im,
 
     total = pl.pallas_call(
         functools.partial(_degrid_kernel, S=S, theta=theta,
-                          theta_x=theta * Nx / N, chunk=chunk, tier=tier),
+                          theta_x=theta * Nx / N, chunk=chunk, tier=tier,
+                          trig=trig),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk, 8, chunk), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -814,6 +863,7 @@ def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
     N, Nx = grid_shape
     S = subgrid
     tier = _tier()
+    trig = "exact" if tier == "exact" else _trig()
     HP, WP2, K, Hb, band_rows = _banded_geometry(
         N, Nx, S, IDG_AW_VMEM_BUDGET)
 
@@ -852,7 +902,7 @@ def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
         band_out = pl.pallas_call(
             functools.partial(_kernel, S=S, theta=theta,
                               theta_x=theta * Nx / N, chunk=chunk,
-                              tier=tier),
+                              tier=tier, trig=trig),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((band_rows, WP2), jnp.float32),
             compiler_params=pltpu.CompilerParams(
@@ -912,6 +962,7 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
     S = subgrid
     n = p.shape[0]
     tier = _tier()
+    trig = "exact" if tier == "exact" else _trig()
     HP, WP2, K, Hb, band_rows = _banded_geometry(
         N, Nx, S, IDG_AW_VMEM_BUDGET)
 
@@ -962,7 +1013,7 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
         part = pl.pallas_call(
             functools.partial(_degrid_kernel, S=S, theta=theta,
                               theta_x=theta * Nx / N, chunk=chunk,
-                              tier=tier),
+                              tier=tier, trig=trig),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nblk, 8, chunk), jnp.float32),
             compiler_params=pltpu.CompilerParams(
