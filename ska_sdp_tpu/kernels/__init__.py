@@ -238,6 +238,28 @@ def idg_gridder(grid_shape, p, w, vis, *, theta: float, subgrid: int = 64,
                 max_runs=mr,
             )
             return guv
+        bb = _idg_banded_bounds(grid_shape, subgrid, support)
+        if bb is not None:
+            # round 5 (VERDICT r4 #4): >VMEM grids ride the BANDED
+            # streamed path with unit screens.  The total run bound is
+            # the full tile count (held in XLA-side arrays — past the
+            # SMEM envelope is fine); each band pass prefetches only its
+            # own per-band slice, statically sized to the band's tile
+            # count, so overflow drops are impossible by construction
+            # (n_dropped counts exactly the OOB records, like all paths).
+            import jax.numpy as jnp
+
+            from .idg_aw_stream_pallas import idg_aw_gridder_banded
+
+            total_mr, band_mr = bb
+            zer = jnp.zeros((p.shape[0],), jnp.int32)
+            scr = jnp.ones((1, subgrid, subgrid), jnp.complex64)
+            guv, _nd = idg_aw_gridder_banded(
+                grid_shape, p, zer, zer, w, vis, scr, theta=theta,
+                subgrid=subgrid, support=support, taper_beta=taper_beta,
+                max_runs=total_mr, max_runs_band=band_mr,
+            )
+            return guv
         from .idg_pallas import idg_gridder_pallas
 
         return idg_gridder_pallas(
@@ -267,6 +289,37 @@ def _idg_unit_run_bound(grid_shape, subgrid: int, support: int):
     tc = 2 * margin - 2
     bound = ((max(grid_shape) + 2 * subgrid) // tc + 2) ** 2 + 64
     return bound if bound <= 24576 else None
+
+
+def _idg_banded_bounds(grid_shape, subgrid: int, support: int):
+    """(total_run_bound, per_band_bound) for the unit-screen BANDED
+    route of plain IDG on >VMEM grids, or None when the kernel cannot
+    serve it (wrong subgrid, screens too big, or a single band's tile
+    count past the SMEM run-table envelope).
+
+    The per-band bound is static: with unit screens and zero pair ids a
+    run is exactly one occupied uv tile, a band k holds the tiles whose
+    clipped origin row lands in [k·Hb, (k+1)·Hb), and that is at most
+    (Hb/Tc + clip slop) tile rows × the tile-column count — so a pass
+    sized to it can never overflow-drop."""
+    from .idg_aw_pallas import IDG_AW_VMEM_BUDGET
+    from .idg_aw_stream_pallas import _banded_geometry, banded_fits
+
+    if subgrid != 64 or not banded_fits(1, subgrid):
+        return None
+    margin = subgrid // 2 - support // 2 - 12
+    if margin <= 0:
+        return None
+    tc = 2 * margin - 2
+    N, Nx = grid_shape
+    _HP, _WP2, _K, Hb, _band_rows = _banded_geometry(
+        N, Nx, subgrid, IDG_AW_VMEM_BUDGET)
+    ntx_t = (Nx + 2 * subgrid) // tc + 1
+    total = ((max(N, Nx) + 2 * subgrid) // tc + 2) ** 2 + 64
+    per_band = (Hb // tc + 8) * ntx_t + 64
+    if per_band > 24576:
+        return None
+    return total, per_band
 
 
 def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,

@@ -82,12 +82,25 @@ def _run_csr(pk_s, tk_s, n: int, max_runs: int, Tc: int, ntx_t: int,
     )
     run_id = jnp.cumsum(new_run) - 1
     overflow = run_id >= max_runs
-    # run_id is sorted (cumsum of a 0/1 mask), so the extended CSR is a
-    # searchsorted — a 1M-element scatter-min here measured ~10 ms/Mvis,
-    # a third of the whole prep (BENCH.md round-3 primitive table)
-    starts_ext = jnp.searchsorted(
-        run_id, jnp.arange(max_runs + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    # run_id is sorted (cumsum of a 0/1 mask), so the extended CSR is an
+    # inversion of a monotone step function.  jnp.searchsorted's binary
+    # search gathers into the 1M array and measured 3.5 ms/Mvis on v5e —
+    # HALF the remaining prep (round-5 probe_ss_prep) — and a 1M scatter-
+    # min is ~10 ms (round 3).  Two-level inversion instead: block heads
+    # (stride-256 slice) locate each query's block by a compare-all
+    # reduction ([Q, B] ≈ 20M bool ops), one contiguous row gather pulls
+    # the block, and an in-row count finishes — exact, ~0.04 ms.
+    q = jnp.arange(max_runs + 1, dtype=jnp.int32)
+    Cb = 256
+    m = ((n + Cb - 1) // Cb) * Cb
+    rid2 = jnp.concatenate(
+        [run_id, jnp.full((m - n,), jnp.iinfo(jnp.int32).max, jnp.int32)]
+    ).reshape(m // Cb, Cb)
+    cb = jnp.sum(rid2[None, :, 0] < q[:, None], axis=1).astype(jnp.int32)
+    blk = jnp.maximum(cb - 1, 0)
+    g = rid2[blk]                                   # [Q, Cb] row gather
+    pos = jnp.sum(g < q[:, None], axis=1).astype(jnp.int32)
+    starts_ext = blk * Cb + pos
     starts = starts_ext[:max_runs]
     ends = jnp.minimum(starts_ext[1:], jnp.int32(n))
 
@@ -106,7 +119,8 @@ def _run_csr(pk_s, tk_s, n: int, max_runs: int, Tc: int, ntx_t: int,
 def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
                        subgrid: int = 64, chunk: int = CHUNK,
                        support: int = 15, max_runs: int = 4096,
-                       fit_margin: int = 0, ordered: bool = False):
+                       fit_margin: int = 0, ordered: bool = False,
+                       nant: int = 0, layout: str = "blocks"):
     """Sort records into (pair, uv-tile) runs for the run-walking kernel.
 
     One fused stable ``lax.sort`` (keys: pair, tile) + vector ops — no
@@ -124,8 +138,23 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     overflows ``max_runs`` and the surplus is counted in ``n_dropped``,
     so callers opt in only when they know the layout.
 
-    Returns (recs [nblk, 8, C], starts, ends, y0, x0, ia1, ia2
-    [max_runs], n_dropped, (HP, WP) padded planar geometry).
+    ``nant > 0`` (the screen count — callers that have it should pass
+    it) enables the FUSED single-key sort when ``nant²·ntile < 2³⁰``:
+    (pair, tile) collapse into one int32 key ``(a1·nant + a2)·ntile +
+    tile``, cutting the comparison network from two keys to one
+    (measured −0.7 ms/Mvis on v5e; VERDICT r4 #3).  The fused key is
+    order-equivalent to the (pkey, tkey) pair (both monotone lexi-
+    graphic in (a1, a2, tile)), so the permutation — and therefore the
+    operator — is IDENTICAL; a1/a2 ≥ nant are clamped exactly like the
+    kernel's screen-row clamp.
+
+    ``layout="rows"`` returns ``recs`` as the [8, n_pad] row-major plane
+    stack instead of [nblk, 8, C] blocks — the streamed kernels DMA
+    per-block strided slices directly, skipping the pack transpose
+    (single-shot path; the sustained/spectral contracts keep "blocks").
+
+    Returns (recs [nblk, 8, C] or [8, n_pad], starts, ends, y0, x0,
+    ia1, ia2 [max_runs], n_dropped, (HP, WP) padded planar geometry).
     """
     (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
      HP, WP) = _record_keys(grid_shape, p, a1, a2, subgrid, support,
@@ -138,10 +167,34 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     vr = jnp.where(use, vis_re, 0.0).astype(f32)
     vi = jnp.where(use, vis_im, 0.0).astype(f32)
 
+    # static tile-count bound for the fused key (HP/WP/Tc are static)
+    ntile = (((HP - 1) // Tc) + 1) * ntx_t
+    fused_ok = nant > 0 and nant * nant * ntile < 2**30
     if ordered:
         pk_s, tk_s = pkey, tkey
         dy_s, dx_s, w_s = dy, dx, w.astype(f32)
         vr_s, vi_s = vr, vi
+    elif fused_ok:
+        # single-key fused sort (see docstring); clamped pair ids match
+        # the kernel's screen-row clamp semantics
+        c1 = jnp.minimum(a1.astype(jnp.int32), nant - 1)
+        c2 = jnp.minimum(a2.astype(jnp.int32), nant - 1)
+        fused = jnp.where(use, (c1 * nant + c2) * ntile + tkey,
+                          jnp.int32(2**30))
+        fused_s, dy_s, dx_s, w_s, vr_s, vi_s = jax.lax.sort(
+            [fused, dy, dx, w.astype(f32), vr, vi],
+            num_keys=1, is_stable=True,
+        )
+        # reconstruct the (pkey, tkey) streams the CSR consumes; the
+        # sentinel survives (its decoded tile is garbage, but sentinel
+        # runs carry zeroed vis rows — identical to the 2-key path)
+        pid_s = fused_s // ntile
+        i1_s = pid_s // nant
+        i2_s = pid_s - i1_s * nant
+        sent = fused_s >= jnp.int32(2**30)
+        pk_s = jnp.where(sent, jnp.int32(2**30),
+                         i1_s * jnp.int32(2**15) + i2_s)
+        tk_s = fused_s - pid_s * ntile
     else:
         # 7-operand fused stable sort — a1/a2 are recovered from the pair
         # key per RUN (max_runs-sized gathers), not carried per record
@@ -164,8 +217,11 @@ def idg_aw_run_records(grid_shape, p, a1, a2, w, vis_re, vis_im, *,
     rows = [jnp.concatenate([r, zero]) for r in
             (dy_s, dx_s, w_s, vr_s, vi_s)]
     rows += [jnp.zeros((n_pad,), f32)] * 3
-    recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
-                                   ).transpose(1, 0, 2)
+    if layout == "rows":
+        recs = jnp.stack(rows)                     # [8, n_pad]
+    else:
+        recs = jnp.stack(rows).reshape(8, n_pad // chunk, chunk
+                                       ).transpose(1, 0, 2)
     return recs, starts, ends, y0, x0, ia1, ia2, n_dropped, (HP, WP)
 
 
@@ -430,11 +486,15 @@ def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
     be divided by ``taper_fine``.  ``ordered`` as in
     :func:`idg_aw_run_records` (skip the sort for pair-major streams).
     """
+    # the streamed kernel accepts the transpose-free rows layout; the
+    # run-major kernel (env pin) keeps the blocks contract
+    stream = os.environ.get("SKA_SDP_TPU_IDG_AW_KERNEL", "stream") != "run"
     recs, starts, ends, y0, x0, ia1, ia2, n_dropped, _ = \
         idg_aw_run_records(
             grid_shape, p, a1, a2, w, vis_re, vis_im, subgrid=subgrid,
             support=support, max_runs=max_runs, fit_margin=fit_margin,
-            ordered=ordered,
+            ordered=ordered, nant=scr_re.shape[0],
+            layout="rows" if stream else "blocks",
         )
     g_re, g_im = idg_aw_grid_from_records(
         recs, starts, ends, y0, x0, ia1, ia2, grid_shape, scr_re, scr_im,

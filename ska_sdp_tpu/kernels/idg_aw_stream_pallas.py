@@ -123,9 +123,13 @@ def block_run_ranges(starts, ends, n_pad: int, chunk: int):
     st_x = jnp.where(active, starts, sentinel)
     en_x = jnp.where(active, ends, sentinel)
     edges = jnp.arange(nblk, dtype=jnp.int32) * chunk
-    rs = jnp.searchsorted(en_x, edges, side="right").astype(jnp.int32)
-    re = jnp.searchsorted(st_x, edges + chunk, side="left"
-                          ).astype(jnp.int32)
+    # compare-all reductions instead of jnp.searchsorted: [nblk,
+    # max_runs] bool ops (~20M at the bench shape) beat the gather-based
+    # binary search (same finding as _run_csr's two-level inversion)
+    rs = jnp.sum(en_x[None, :] <= edges[:, None], axis=1
+                 ).astype(jnp.int32)
+    re = jnp.sum(st_x[None, :] < (edges + chunk)[:, None], axis=1
+                 ).astype(jnp.int32)
     return rs, re
 
 
@@ -159,7 +163,10 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
             hi_ref, out_ref, recs_v, acc, sems, *, S: int, theta: float,
             theta_x: float, chunk: int, tier: str, trig: str):
     C = chunk
-    nblk = recs_hbm.shape[0]
+    # rows layout ([8, n_pad], single-shot path): per-block strided DMA
+    # replaces the prep's pack transpose (VERDICT r4 #3)
+    rows_layout = recs_hbm.ndim == 2
+    nblk = (recs_hbm.shape[1] // C) if rows_layout else recs_hbm.shape[0]
     f32, bf = jnp.float32, jnp.bfloat16
 
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -200,6 +207,10 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
                 precision=jax.lax.Precision.HIGHEST)
 
     def dma(slot, c):
+        if rows_layout:
+            return pltpu.make_async_copy(
+                recs_hbm.at[:, pl.ds(c * C, C)], recs_v.at[slot],
+                sems.at[slot])
         return pltpu.make_async_copy(
             recs_hbm.at[c], recs_v.at[slot], sems.at[slot])
 
@@ -346,14 +357,24 @@ def idg_aw_grid_from_records_stream(recs, starts, ends, y0, x0, ia1, ia2,
                                     grid_shape, scr_re, scr_im, *,
                                     theta: float, subgrid: int = 64,
                                     taper_beta: float = 12.0,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    chunk: int = CHUNK):
     """Streamed IDG-AW gridding from a pre-sorted run-record stream
     (same contract as ``idg_aw_pallas.idg_aw_grid_from_records`` — the
     sustained multi-channel path swaps ``recs[:, 3:5, :]`` and reuses
-    everything else); returns (grid_re, grid_im)."""
+    everything else); returns (grid_re, grid_im).
+
+    ``recs`` may be [nblk, 8, C] blocks (the shared sustained contract;
+    ``chunk`` is inferred) or the [8, n_pad] rows layout from
+    ``idg_aw_run_records(layout="rows")`` — the kernel then DMAs
+    per-block strided slices, no pack transpose (single-shot path)."""
     N, Nx = grid_shape
     S = subgrid
-    chunk = recs.shape[2]
+    if recs.ndim == 3:
+        chunk = recs.shape[2]
+        n_pad = recs.shape[0] * chunk
+    else:
+        n_pad = recs.shape[1]
     HP, WP2 = _geometry(N, Nx, S)
     PADM = S
     tier = _tier()
@@ -361,7 +382,6 @@ def idg_aw_grid_from_records_stream(recs, starts, ends, y0, x0, ia1, ia2,
 
     _F, Hr, Hi, F2, _Pe, _Po = _dft_factors(S, taper_beta)
 
-    n_pad = recs.shape[0] * chunk
     rs, re = block_run_ranges(starts, ends, n_pad, chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -415,12 +435,13 @@ def idg_aw_grid_stream(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
         idg_aw_run_records(
             grid_shape, p, a1, a2, w, vis_re, vis_im, subgrid=subgrid,
             support=support, max_runs=max_runs, fit_margin=fit_margin,
-            chunk=chunk, ordered=ordered,
+            chunk=chunk, ordered=ordered, nant=scr_re.shape[0],
+            layout="rows",
         )
     g_re, g_im = idg_aw_grid_from_records_stream(
         recs, starts, ends, y0, x0, ia1, ia2, grid_shape, scr_re, scr_im,
         theta=theta, subgrid=subgrid, taper_beta=taper_beta,
-        interpret=interpret,
+        interpret=interpret, chunk=chunk,
     )
     return g_re, g_im, n_dropped
 
@@ -853,13 +874,25 @@ def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
                        scr_im, *, theta: float, subgrid: int = 64,
                        support: int = 15, taper_beta: float = 12.0,
                        max_runs: int = 8192, fit_margin: int = 0,
-                       chunk: int = CHUNK, interpret: bool = False):
+                       chunk: int = CHUNK, interpret: bool = False,
+                       max_runs_band: int = 0):
     """Streamed IDG-AW gridding for grids whose padded accumulator does
     NOT fit VMEM: K row bands, one streamed-kernel pass per band over
     the shared record stream (out-of-band runs emptied per pass — their
     blocks are skipped after the DMA), overlap-added host-side.
     Returns (grid_re, grid_im, n_dropped).  Same operator as the
-    resident path; ``tests/test_idg.py`` asserts parity."""
+    resident path; ``tests/test_idg.py`` asserts parity.
+
+    ``max_runs_band`` (VERDICT r4 #4): with 0, every band pass prefetches
+    the FULL run tables — ``max_runs`` is then capped by the kernel's
+    SMEM envelope (~24K), which dense random-uv tile counts at 4800²
+    overflow.  A positive value slices each pass's tables to that
+    band's own contiguous run range (one ``dynamic_slice`` per table),
+    so ``max_runs`` can cover ANY total tile count while SMEM holds only
+    ``max_runs_band`` entries.  Runs past a band's slice are dropped AND
+    counted (per-band excess records land in ``n_dropped``); the plain-
+    IDG dispatch sizes the cap from the band's static tile count, so
+    its drops are provably zero."""
     N, Nx = grid_shape
     S = subgrid
     tier = _tier()
@@ -881,11 +914,41 @@ def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
     # run range (where-masking instead would break the searchsorted
     # monotonicity block_run_ranges relies on)
     rs_full, re_full = block_run_ranges(starts, ends, n_pad, chunk)
+    mrb = max_runs_band if 0 < max_runs_band < max_runs else 0
+    if mrb:
+        # pad so the per-band dynamic_slice never clamps (a clamped
+        # start would misalign the rs/re - r_lo indexing)
+        nfill = jnp.int32(n_pad)                   # start == end: empty
+        starts_p = jnp.concatenate([starts, jnp.full((mrb,), nfill)])
+        ends_p = jnp.concatenate([ends, jnp.full((mrb,), nfill)])
+        y0_p = jnp.concatenate([y0_loc, jnp.zeros((mrb,), jnp.int32)])
+        x0_p = jnp.concatenate([x0, jnp.zeros((mrb,), jnp.int32)])
+        i1_p = jnp.concatenate([ia1, jnp.full((mrb,), 2**15, jnp.int32)])
+        i2_p = jnp.concatenate([ia2, jnp.zeros((mrb,), jnp.int32)])
+        ridx = jnp.arange(max_runs, dtype=jnp.int32)
+        reclen = ends - starts
     full = jnp.zeros((HP, WP2), jnp.float32)
     for kb in range(K):
-        rs = jnp.clip(rs_full, r_lo[kb], r_hi[kb])
-        re = jnp.clip(re_full, r_lo[kb], r_hi[kb])
-        st_k, en_k = starts, ends
+        if mrb:
+            lo = r_lo[kb]
+            hi = jnp.minimum(r_hi[kb], lo + mrb)
+            st_k = jax.lax.dynamic_slice(starts_p, (lo,), (mrb,))
+            en_k = jax.lax.dynamic_slice(ends_p, (lo,), (mrb,))
+            y0_k = jax.lax.dynamic_slice(y0_p, (lo,), (mrb,))
+            x0_k = jax.lax.dynamic_slice(x0_p, (lo,), (mrb,))
+            i1_k = jax.lax.dynamic_slice(i1_p, (lo,), (mrb,))
+            i2_k = jax.lax.dynamic_slice(i2_p, (lo,), (mrb,))
+            rs = jnp.clip(rs_full, lo, hi) - lo
+            re = jnp.clip(re_full, lo, hi) - lo
+            # runs past the band's slice: dropped AND counted
+            n_dropped = n_dropped + jnp.sum(
+                jnp.where((ridx >= hi) & (ridx < r_hi[kb]), reclen, 0)
+            ).astype(jnp.int32)
+        else:
+            rs = jnp.clip(rs_full, r_lo[kb], r_hi[kb])
+            re = jnp.clip(re_full, r_lo[kb], r_hi[kb])
+            st_k, en_k = starts, ends
+            y0_k, x0_k, i1_k, i2_k = y0_loc, x0, ia1, ia2
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
@@ -909,7 +972,7 @@ def idg_aw_grid_banded(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,
                 vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(st_k, en_k, y0_loc, x0, ia1, ia2, rs, re, recs,
+        )(st_k, en_k, y0_k, x0_k, i1_k, i2_k, rs, re, recs,
           scr_re.astype(jnp.float32), scr_im.astype(jnp.float32),
           jnp.asarray(F2, jnp.float32),
           jnp.asarray(Hr, jnp.float32), jnp.asarray(Hi, jnp.float32))
@@ -931,7 +994,8 @@ def idg_aw_gridder_banded(grid_shape, p, a1, a2, w, vis, screens, *,
                           theta: float, subgrid: int = 64,
                           support: int = 15, taper_beta: float = 12.0,
                           max_runs: int = 8192, fit_margin: int = 0,
-                          chunk: int = CHUNK, interpret: bool = False):
+                          chunk: int = CHUNK, interpret: bool = False,
+                          max_runs_band: int = 0):
     """Complex wrapper for the banded >VMEM path, matching
     ``ops.idg_aw.idg_grid_aw``'s signature; returns (guv, n_dropped)."""
     g_re, g_im, nd = idg_aw_grid_banded(
@@ -942,7 +1006,7 @@ def idg_aw_gridder_banded(grid_shape, p, a1, a2, w, vis, screens, *,
         jnp.imag(screens).astype(jnp.float32),
         theta=theta, subgrid=subgrid, support=support,
         taper_beta=taper_beta, max_runs=max_runs, fit_margin=fit_margin,
-        chunk=chunk, interpret=interpret,
+        chunk=chunk, interpret=interpret, max_runs_band=max_runs_band,
     )
     return jax.lax.complex(g_re, g_im), nd
 
@@ -952,12 +1016,16 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
                          subgrid: int = 64, support: int = 15,
                          taper_beta: float = 12.0, max_runs: int = 8192,
                          fit_margin: int = 0, chunk: int = CHUNK,
-                         interpret: bool = False):
+                         interpret: bool = False, max_runs_band: int = 0):
     """Banded streamed DEgridding for >VMEM grids: the padded planar
     grid stays in HBM; band k's rows load into VMEM as the kernel input
     and one streamed pass serves the band's runs (out-of-band blocks
     produce zero rows); the K per-block outputs sum elementwise.
-    Returns (vis_re, vis_im, n_dropped)."""
+    Returns (vis_re, vis_im, n_dropped).
+
+    ``max_runs_band``: as in :func:`idg_aw_grid_banded` — per-band run
+    table slicing so ``max_runs`` can exceed the SMEM envelope; records
+    of runs past a band's slice predict 0 and are counted."""
     N, Nx = grid_shape
     S = subgrid
     n = p.shape[0]
@@ -990,10 +1058,38 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
 
     n_pad = nblk * chunk
     rs_full, re_full = block_run_ranges(starts, ends, n_pad, chunk)
+    mrb = max_runs_band if 0 < max_runs_band < max_runs else 0
+    if mrb:
+        nfill = jnp.int32(n_pad)                   # start == end: empty
+        starts_p = jnp.concatenate([starts, jnp.full((mrb,), nfill)])
+        ends_p = jnp.concatenate([ends, jnp.full((mrb,), nfill)])
+        y0_p = jnp.concatenate([y0_loc, jnp.zeros((mrb,), jnp.int32)])
+        x0_p = jnp.concatenate([x0, jnp.zeros((mrb,), jnp.int32)])
+        i1_p = jnp.concatenate([ia1, jnp.full((mrb,), 2**15, jnp.int32)])
+        i2_p = jnp.concatenate([ia2, jnp.zeros((mrb,), jnp.int32)])
+        ridx = jnp.arange(max_runs, dtype=jnp.int32)
+        reclen = ends - starts
     total = jnp.zeros((nblk, 8, chunk), f32)
     for kb in range(K):
-        rs = jnp.clip(rs_full, r_lo[kb], r_hi[kb])
-        re = jnp.clip(re_full, r_lo[kb], r_hi[kb])
+        if mrb:
+            lo = r_lo[kb]
+            hi = jnp.minimum(r_hi[kb], lo + mrb)
+            st_k = jax.lax.dynamic_slice(starts_p, (lo,), (mrb,))
+            en_k = jax.lax.dynamic_slice(ends_p, (lo,), (mrb,))
+            y0_k = jax.lax.dynamic_slice(y0_p, (lo,), (mrb,))
+            x0_k = jax.lax.dynamic_slice(x0_p, (lo,), (mrb,))
+            i1_k = jax.lax.dynamic_slice(i1_p, (lo,), (mrb,))
+            i2_k = jax.lax.dynamic_slice(i2_p, (lo,), (mrb,))
+            rs = jnp.clip(rs_full, lo, hi) - lo
+            re = jnp.clip(re_full, lo, hi) - lo
+            n_dropped = n_dropped + jnp.sum(
+                jnp.where((ridx >= hi) & (ridx < r_hi[kb]), reclen, 0)
+            ).astype(jnp.int32)
+        else:
+            rs = jnp.clip(rs_full, r_lo[kb], r_hi[kb])
+            re = jnp.clip(re_full, r_lo[kb], r_hi[kb])
+            st_k, en_k = starts, ends
+            y0_k, x0_k, i1_k, i2_k = y0_loc, x0, ia1, ia2
         gband = jax.lax.dynamic_slice(gp, (kb * Hb, 0),
                                       (band_rows, WP2))
 
@@ -1020,7 +1116,7 @@ def idg_aw_degrid_banded(grid_shape, p, a1, a2, w, grid_re, grid_im,
                 vmem_limit_bytes=IDG_AW_VMEM_BUDGET + 8 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(starts, ends, y0_loc, x0, ia1, ia2, rs, re, recs, gband,
+        )(st_k, en_k, y0_k, x0_k, i1_k, i2_k, rs, re, recs, gband,
           scr_re.astype(f32), scr_im.astype(f32),
           jnp.asarray(F.real, f32), jnp.asarray(F.imag, f32),
           jnp.asarray(Pe), jnp.asarray(Po))
@@ -1038,7 +1134,8 @@ def idg_aw_degridder_banded(grid_shape, p, a1, a2, w, grid, screens, *,
                             theta: float, subgrid: int = 64,
                             support: int = 15, taper_beta: float = 12.0,
                             max_runs: int = 8192, fit_margin: int = 0,
-                            chunk: int = CHUNK, interpret: bool = False):
+                            chunk: int = CHUNK, interpret: bool = False,
+                            max_runs_band: int = 0):
     """Complex wrapper for banded >VMEM degridding; returns
     (vis, n_dropped)."""
     v_re, v_im, nd = idg_aw_degrid_banded(

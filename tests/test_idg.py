@@ -1519,3 +1519,108 @@ class TestIDGAWBandedManyAntennas:
         d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
              / np.linalg.norm(np.asarray(want)))
         assert d < 5e-5, d
+
+
+class TestIDGAWBandedSliced:
+    """Per-band run-table slicing (VERDICT r4 #4): max_runs past the
+    SMEM envelope, each band pass prefetches only its own slice."""
+
+    def _problem(self, rng, monkeypatch):
+        import ska_sdp_tpu.kernels.idg_aw_stream_pallas as SP
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=5, ntime=64)
+        nant, s = 5, 15
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        scr = aw_screens(jnp.asarray(ak), SA, dtype=jnp.complex64)
+        mr = 8 * nbl * 4 + p.shape[0] // 128 + 64
+        orig = SP._banded_geometry
+        monkeypatch.setattr(
+            SP, "_banded_geometry",
+            lambda N_, Nx, S_, bud: orig(N_, Nx, S_, 1024 * 1024))
+        assert SP._banded_geometry(N, N, SA, 0)[2] >= 2
+        return SP, p, w, a1, a2, vis, scr, mr
+
+    def test_sliced_matches_full_tables(self, rng, monkeypatch):
+        SP, p, w, a1, a2, vis, scr, mr = self._problem(rng, monkeypatch)
+        args = ((N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+                jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+                jnp.asarray(vis, jnp.complex64), scr)
+        kw = dict(theta=THETA, subgrid=SA, max_runs=mr, interpret=True)
+        full, nd_f = SP.idg_aw_gridder_banded(*args, **kw)
+        # a generous per-band cap: every band's runs fit -> identical
+        sliced, nd_s = SP.idg_aw_gridder_banded(
+            *args, max_runs_band=mr - 1, **{k: v for k, v in kw.items()
+                                            if k != "max_runs"},
+            max_runs=mr)
+        assert int(nd_f) == int(nd_s) == 0
+        np.testing.assert_allclose(np.asarray(sliced), np.asarray(full),
+                                   rtol=0, atol=0)
+
+    def test_tiny_cap_drops_are_counted(self, rng, monkeypatch):
+        SP, p, w, a1, a2, vis, scr, mr = self._problem(rng, monkeypatch)
+        args = ((N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+                jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+                jnp.asarray(vis, jnp.complex64), scr)
+        _, nd = SP.idg_aw_gridder_banded(
+            *args, theta=THETA, subgrid=SA, max_runs=mr,
+            max_runs_band=4, interpret=True)
+        assert int(nd) > 0          # excess runs surfaced, not silent
+
+    def test_sliced_degrid_matches_full(self, rng, monkeypatch):
+        SP, p, w, a1, a2, _vis, scr, mr = self._problem(rng, monkeypatch)
+        grid = (rng.standard_normal((N, N))
+                + 1j * rng.standard_normal((N, N))).astype(np.complex64)
+        args = ((N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+                jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+                jnp.asarray(grid), scr)
+        kw = dict(theta=THETA, subgrid=SA, max_runs=mr, interpret=True)
+        full, nd_f = SP.idg_aw_degridder_banded(*args, **kw)
+        sliced, nd_s = SP.idg_aw_degridder_banded(
+            *args, max_runs_band=mr - 1, **kw)
+        assert int(nd_f) == int(nd_s) == 0
+        np.testing.assert_allclose(np.asarray(sliced), np.asarray(full),
+                                   rtol=0, atol=0)
+
+
+class TestPlainIDGBandedRoute:
+    """Plain IDG's >VMEM dispatch route (VERDICT r4 #4): unit screens +
+    zero pair ids through the banded streamed kernels, per-band bounds
+    sized statically from the band's tile count."""
+
+    def test_bounds_cover_and_route_matches_oracle(self, rng,
+                                                   monkeypatch):
+        import ska_sdp_tpu.kernels.idg_aw_stream_pallas as SP
+        from ska_sdp_tpu.kernels import _idg_banded_bounds
+        from ska_sdp_tpu.ops.idg import idg_grid_wproj
+
+        orig = SP._banded_geometry
+        monkeypatch.setattr(
+            SP, "_banded_geometry",
+            lambda N_, Nx, S_, bud: orig(N_, Nx, S_, 1024 * 1024))
+        assert SP._banded_geometry(N, N, SA, 0)[2] >= 2
+
+        # dense random uv so many tiles are occupied
+        b = 3000
+        p = np.zeros((b, 3), np.float32)
+        p[:, :2] = rng.uniform(-0.45, 0.45, (b, 2)).astype(np.float32)
+        w = rng.uniform(-WMAX, WMAX, b).astype(np.float32)
+        vis = (rng.standard_normal(b)
+               + 1j * rng.standard_normal(b)).astype(np.complex64)
+
+        bb = _idg_banded_bounds((N, N), SA, 15)
+        assert bb is not None
+        total_mr, band_mr = bb
+        zer = jnp.zeros((b,), jnp.int32)
+        scr = jnp.ones((1, SA, SA), jnp.complex64)
+        got, nd = SP.idg_aw_gridder_banded(
+            (N, N), jnp.asarray(p), zer, zer, jnp.asarray(w),
+            jnp.asarray(vis), scr, theta=THETA, subgrid=SA,
+            max_runs=total_mr, max_runs_band=band_mr, interpret=True)
+        assert int(nd) == 0        # static band bound: no overflow
+        want = idg_grid_wproj((N, N), jnp.asarray(p), jnp.asarray(w),
+                              jnp.asarray(vis), theta=THETA, subgrid=SA)
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, d
