@@ -845,7 +845,68 @@ def main() -> None:
 
     _run_metric("sustained plain IDG", 40, _m_sustained_idg)
 
-    # -- 16. w-projection bank path at 4800^2 (tiled kernel fallback)
+    # -- 16. IDG-AW at subgrid 32 (VERDICT r4 #8: the streamed-kernel
+    #        envelope past S=64; S=32 pairs with support<=11 — the
+    #        S-scaled taper margin gives Tc=10 tiles, ~2.4x the runs)
+    def _m_aw_s32():
+        from ska_sdp_tpu.kernels import idg_aw_gridder
+
+        rng32 = np.random.default_rng(13)
+        ii2, jj2 = np.triu_indices(32, k=1)
+        nbl2 = ii2.shape[0]                    # 496
+        ntime2, nchan2 = 264, 8                # ~1.047M records
+        u02 = rng32.uniform(-0.40, 0.40, (nbl2, 2))
+        du2 = rng32.uniform(-30.0 / n_grid, 30.0 / n_grid, (nbl2, 2))
+        w02 = rng32.uniform(-3800.0, 3800.0, nbl2)
+        dw2 = rng32.uniform(-100.0, 100.0, nbl2)
+        ft2 = (np.arange(ntime2) / ntime2)[:, None, None]
+        fs2 = (1.0 + 0.0005 * np.arange(nchan2))[None, None, :]
+        u2 = (u02[None, :, 0:1] + du2[None, :, 0:1] * ft2) * fs2
+        v2 = (u02[None, :, 1:2] + du2[None, :, 1:2] * ft2) * fs2
+        w2 = (w02[None, :, None] + dw2[None, :, None] * ft2
+              ) * np.ones_like(fs2)
+        n2 = u2.size
+        p2 = np.zeros((n2, 3), np.float32)
+        p2[:, 0] = u2.ravel()
+        p2[:, 1] = v2.ravel()
+        a1_2 = np.broadcast_to(ii2[None, :, None], u2.shape).ravel()
+        a2_2 = np.broadcast_to(jj2[None, :, None], u2.shape).ravel()
+        scr2 = aw_screens_host(
+            (rng32.standard_normal((32, 32, 32))
+             + 1j * rng32.standard_normal((32, 32, 32))), 32)
+        mr2 = 24 * nbl2 + n2 // 128 + 64
+
+        @jax.jit
+        def aw32_step(p_j, w_j, a1_j, a2_j, sre, sim, vr, vi, salt):
+            guv, nd = idg_aw_gridder(
+                (n_grid, n_grid), p_j, a1_j, a2_j, w_j,
+                jax.lax.complex(vr, vi + salt),
+                jax.lax.complex(sre, sim), theta=THETA, subgrid=32,
+                support=9, max_runs=mr2,
+            )
+            return (jnp.sum(jnp.abs(jnp.real(guv)))
+                    + jnp.sum(jnp.abs(jnp.imag(guv)))
+                    + jnp.where(nd > 0, jnp.float32(jnp.nan), 0.0))
+
+        r = _rate(
+            aw32_step,
+            (jnp.asarray(p2), jnp.asarray(w2.ravel(), jnp.float32),
+             jnp.asarray(a1_2, jnp.int32), jnp.asarray(a2_2, jnp.int32),
+             jnp.asarray(scr2.real, jnp.float32),
+             jnp.asarray(scr2.imag, jnp.float32),
+             jnp.asarray(rng32.standard_normal(n2).astype(np.float32)),
+             jnp.asarray(rng32.standard_normal(n2).astype(np.float32))),
+            n2, k=2)
+        _extra({
+            "metric": ("IDG-AW single-shot at subgrid 32 (support 9, "
+                       "32 ants; streamed kernel envelope past S=64 — "
+                       "drops poison checksum)"),
+            "value": round(r, 1), "unit": "vis/s", **_util(r, "idg"),
+        })
+
+    _run_metric("IDG-AW subgrid 32", 70, _m_aw_s32)
+
+    # -- 17. w-projection bank path at 4800^2 (tiled kernel fallback)
     def _m_large_wproj():
         theta_lg = 0.016
         n_lg = int(round(theta_lg * LAM))

@@ -256,6 +256,36 @@ def main() -> int:
     print(f"{'PASS' if good else 'FAIL'} IDG-AW stream parity: rel err "
           f"{float(eaw):.2e} (drops {int(nd_g)}/{int(nd_w)})", flush=True)
 
+    # subgrid-32 envelope (VERDICT r4 #8): same data, S=32 screens +
+    # support 9 — covers the sub-lane-tile window/roll LOWERING the
+    # interpret-mode tests cannot (S=32's (64,64) pair-dot roll and
+    # 192-lane patch sit below one lane tile)
+    scr32 = aw_screens_host(aks, 32).astype(np.complex64)
+    mr32 = 24 * nbl_s + nsa // 64 + 64
+
+    @jax.jit
+    def parity_aw_s32(p, a1, a2, w, vr, vi, sre, sim):
+        vis = jax.lax.complex(vr, vi)
+        got, nd = idg_aw_gridder_pallas(
+            (hs, hs), p, a1, a2, w, vis, jax.lax.complex(sre, sim),
+            theta=0.05, subgrid=32, support=9, max_runs=mr32)
+        want, nd_w = idg_grid_aw(
+            (hs, hs), p, a1, a2, w, vis, jax.lax.complex(sre, sim),
+            theta=0.05, subgrid=32, support=9, max_runs=mr32)
+        e = jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-30)
+        return e, nd, nd_w
+
+    e32, nd32, nd32w = parity_aw_s32(
+        jnp.asarray(pa), jnp.asarray(a1s), jnp.asarray(a2s),
+        jnp.asarray(wa), var, vai,
+        jnp.asarray(scr32.real.astype(np.float32)),
+        jnp.asarray(scr32.imag.astype(np.float32)))
+    good = float(e32) < 2e-4 and int(nd32) == int(nd32w)
+    ok &= good
+    print(f"{'PASS' if good else 'FAIL'} IDG-AW subgrid-32 parity: rel "
+          f"err {float(e32):.2e} (drops {int(nd32)}/{int(nd32w)})",
+          flush=True)
+
     ii64, jj64 = np.triu_indices(NANT, k=1)
     nbl64 = ii64.shape[0]
     ntime_aw = N // nbl64

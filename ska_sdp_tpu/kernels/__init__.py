@@ -278,13 +278,18 @@ def _idg_unit_run_bound(grid_shape, subgrid: int, support: int):
     too big for VMEM residency, or more possible tiles than the SMEM
     run-CSR comfortably holds — overflow would silently drop records the
     fixed-tile kernels keep)."""
-    from .idg_aw_pallas import idg_aw_resident_fits
+    from ..ops.idg_aw import auto_fit_margin
+    from .idg_aw_pallas import STREAM_SUBGRIDS, idg_aw_resident_fits
 
-    if subgrid != 64 or not idg_aw_resident_fits(
+    if subgrid not in STREAM_SUBGRIDS or not idg_aw_resident_fits(
             grid_shape[0], grid_shape[1], 1, subgrid):
         return None
-    margin = subgrid // 2 - support // 2 - 12
-    if margin <= 0:
+    margin = auto_fit_margin(subgrid, support)
+    # margin >= 5 keeps the record_keys Tc floor (max(2*margin-2, 8))
+    # inside the fit guarantee |dy| < Tc/2 <= margin — below it the tile
+    # split would DROP in-bounds records the fixed-tile kernels keep
+    # (S=32 with support 15 lands here; support <= 11 restores it)
+    if margin < 5:
         return None
     tc = 2 * margin - 2
     bound = ((max(grid_shape) + 2 * subgrid) // tc + 2) ** 2 + 64
@@ -302,13 +307,14 @@ def _idg_banded_bounds(grid_shape, subgrid: int, support: int):
     clipped origin row lands in [k·Hb, (k+1)·Hb), and that is at most
     (Hb/Tc + clip slop) tile rows × the tile-column count — so a pass
     sized to it can never overflow-drop."""
-    from .idg_aw_pallas import IDG_AW_VMEM_BUDGET
+    from ..ops.idg_aw import auto_fit_margin
+    from .idg_aw_pallas import IDG_AW_VMEM_BUDGET, STREAM_SUBGRIDS
     from .idg_aw_stream_pallas import _banded_geometry, banded_fits
 
-    if subgrid != 64 or not banded_fits(1, subgrid):
+    if subgrid not in STREAM_SUBGRIDS or not banded_fits(1, subgrid):
         return None
-    margin = subgrid // 2 - support // 2 - 12
-    if margin <= 0:
+    margin = auto_fit_margin(subgrid, support)
+    if margin < 5:            # same fit-guarantee floor as the unit path
         return None
     tc = 2 * margin - 2
     N, Nx = grid_shape
@@ -366,9 +372,11 @@ def idg_degridder(grid_shape, p, w, grid, *, theta: float, subgrid: int = 64,
 
 def _idg_aw_unfit_reason(grid_shape, nant: int, subgrid: int) -> str:
     """Human-readable reason the Pallas IDG-AW kernel was rejected."""
-    if subgrid != 64:
+    from .idg_aw_pallas import STREAM_SUBGRIDS
+
+    if subgrid not in STREAM_SUBGRIDS:
         return (f"subgrid={subgrid} is outside the kernel envelope "
-                "(the Pallas IDG-AW kernel requires subgrid=64)")
+                f"(the Pallas IDG-AW kernels support {STREAM_SUBGRIDS})")
     return (f"padded {grid_shape[0]}x{grid_shape[1]} grid + {nant} antenna "
             "screens exceed the VMEM budget (resident-grid kernel only)")
 
@@ -416,14 +424,17 @@ def idg_aw_gridder(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin, ordered=ordered,
             )
+        from .idg_aw_pallas import STREAM_SUBGRIDS
         from .idg_aw_stream_pallas import banded_fits, idg_aw_gridder_banded
 
-        if subgrid == 64 and banded_fits(screens.shape[0], subgrid):
+        if subgrid in STREAM_SUBGRIDS and banded_fits(screens.shape[0],
+                                                      subgrid):
             # >VMEM grids: the BANDED streamed path (round 4) — K row
             # bands each resident in VMEM, one streamed pass per band
             # over the shared record stream, overlap-added.  This is a
             # Pallas fast path, not a fallback (shapes non-resident
-            # because of SCREENS size, or non-64 subgrids, still take
+            # because of SCREENS size, or out-of-envelope subgrids,
+            # still take
             # the XLA oracle below).  The banded prep always sorts, so
             # ``ordered`` is moot here.
             return idg_aw_gridder_banded(
@@ -471,10 +482,12 @@ def idg_aw_degridder(grid_shape, p, a1, a2, w, grid, screens, *,
                 subgrid=subgrid, support=support, taper_beta=taper_beta,
                 max_runs=max_runs, fit_margin=fit_margin,
             )
+        from .idg_aw_pallas import STREAM_SUBGRIDS
         from .idg_aw_stream_pallas import (banded_fits,
                                            idg_aw_degridder_banded)
 
-        if subgrid == 64 and banded_fits(screens.shape[0], subgrid):
+        if subgrid in STREAM_SUBGRIDS and banded_fits(screens.shape[0],
+                                                      subgrid):
             # >VMEM grids: banded streamed degrid (grid bands load as
             # VMEM inputs per pass) — Pallas fast path, not a fallback
             return idg_aw_degridder_banded(

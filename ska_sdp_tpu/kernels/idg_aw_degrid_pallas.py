@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.idg_aw import _record_keys
 from .idg_aw_pallas import (CHUNK, IDG_AW_VMEM_BUDGET, _align, _geometry,
-                            _run_csr)
+                            _run_csr, _win_w)
 
 
 def idg_aw_degrid_records(grid_shape, p, a1, a2, w, *, subgrid: int = 64,
@@ -111,9 +111,9 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
         rem = jax.lax.rem(x2, jnp.int32(128))
         y0a = pl.multiple_of(y0 - rr, 8)
         x2a = pl.multiple_of(x2 - rem, 128)
-        win = grid_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)]
+        win = grid_ref[pl.ds(y0a, S + 8), pl.ds(x2a, _win_w(S))]
         win = pltpu.roll(pltpu.roll(win, (S + 8) - rr, 0),
-                         (2 * S + 128) - rem, 1)
+                         _win_w(S) - rem, 1)
         win = win[0:S, 0:2 * S]                            # (S, 2S) re|im
         f32 = jnp.float32
         hp = jax.lax.Precision.HIGHEST

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.idg_aw import _record_keys
+from ..ops.idg_aw import _record_keys, auto_fit_margin
 from .wproj_pallas import _align
 
 CHUNK = 256
@@ -51,18 +51,34 @@ CHUNK = 256
 IDG_AW_VMEM_BUDGET = 100 * 1024 * 1024
 
 
+def _win_w(S: int) -> int:
+    """Placement/read window lane width: the interleaved (S, 2S) patch
+    plus up-to-127 lanes of roll slop, rounded up to a whole lane tile
+    (256 at S=32/64, 384 at S=128)."""
+    return _align(2 * S + 128, 128)
+
+
 def _geometry(N: int, Nx: int, S: int):
     """Resident padded accumulator (rows, interleaved lanes) for subgrid
     placement: margin S each side (run origins are clipped to
-    [0, N+2S-S]) + roll slop (8 sublanes / 128 lanes)."""
+    [0, N+2S-S]) + roll slop (8 sublanes / the window's lane slack).
+    Identical to the round-4 S=64 geometry at S=64 (``_win_w(64)−2S`` is
+    exactly the former +128 constant)."""
     HP = _align(N + 2 * S, 8) + 8
-    WP2 = _align(2 * (Nx + 2 * S), 128) + 128
+    WP2 = _align(2 * (Nx + 2 * S) + (_win_w(S) - 2 * S), 128)
     return HP, WP2
 
 
+# streamed/banded/run-major kernel subgrid envelope (VERDICT r4 #8):
+# the kernels are S-generic; these are the sizes with verified window
+# geometry + TPU lowering (S=32's (2S,2S) pair-dot output and 192-lane
+# patch sit below one lane tile — padded, lowerable; S=128 is 3 tiles).
+STREAM_SUBGRIDS = (32, 64, 128)
+
+
 def idg_aw_resident_fits(N: int, Nx: int, nant: int, S: int = 64) -> bool:
-    if S != 64:
-        return False          # window/roll geometry derived for S=64
+    if S not in STREAM_SUBGRIDS:
+        return False          # window/roll geometry verified for these S
     HP, WP2 = _geometry(N, Nx, S)
     acc = HP * WP2 * 4
     screens = nant * S * 128 * 4 * 2          # lane-padded to 128
@@ -253,7 +269,7 @@ def idg_aw_run_records_multi(grid_shape, p, a1, a2, w, vis_re_mc,
     """
     S = subgrid
     s = support
-    margin_full = fit_margin if fit_margin > 0 else S // 2 - s // 2 - 12
+    margin_full = fit_margin if fit_margin > 0 else auto_fit_margin(S, s)
     margin_bin = margin_full - drift_cells
     assert margin_bin > 0, "drift_cells leaves no binning margin"
     (pkey, tkey, dy, dx, valid, fit, Tc, ntx_t,
@@ -322,7 +338,7 @@ def idg_aw_records_for_channel(base, vis_c, ratio, *, subgrid: int = 64,
     """
     S = subgrid
     margin_full = (fit_margin if fit_margin > 0
-                   else S // 2 - support // 2 - 12)
+                   else auto_fit_margin(S, support))
     f32 = jnp.float32
     r = jnp.asarray(ratio, f32)
     dy, dx, w, cy, cx, live = (base[i] for i in range(6))
@@ -468,9 +484,9 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
         rem = jax.lax.rem(x2, jnp.int32(128))
         y0a = pl.multiple_of(y0 - rr, 8)
         x2a = pl.multiple_of(x2 - rem, 128)
-        patch = jnp.pad(patch, ((0, 8), (0, 128)))
+        patch = jnp.pad(patch, ((0, 8), (0, _win_w(S) - 2 * S)))
         patch = pltpu.roll(pltpu.roll(patch, rr, 0), rem, 1)
-        out_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)] += patch
+        out_ref[pl.ds(y0a, S + 8), pl.ds(x2a, _win_w(S))] += patch
 
 
 def idg_aw_grid_pallas(grid_shape, p, a1, a2, w, vis_re, vis_im, scr_re,

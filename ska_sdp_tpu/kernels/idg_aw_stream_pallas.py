@@ -46,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .idg_aw_pallas import (CHUNK, IDG_AW_VMEM_BUDGET, _geometry,
+from .idg_aw_pallas import (CHUNK, IDG_AW_VMEM_BUDGET, _geometry, _win_w,
                             idg_aw_run_records)
 
 
@@ -247,9 +247,9 @@ def _kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref, rs_ref,
         rem = jax.lax.rem(x2, jnp.int32(128))
         y0a = pl.multiple_of(y0 - rr, 8)
         x2a = pl.multiple_of(x2 - rem, 128)
-        patch = jnp.pad(patch, ((0, 8), (0, 128)))
+        patch = jnp.pad(patch, ((0, 8), (0, _win_w(S) - 2 * S)))
         patch = pltpu.roll(pltpu.roll(patch, rr, 0), rem, 1)
-        out_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)] += patch
+        out_ref[pl.ds(y0a, S + 8), pl.ds(x2a, _win_w(S))] += patch
 
     def block_body(b, _):
         slot = jax.lax.rem(b, jnp.asarray(2, b.dtype))
@@ -535,9 +535,9 @@ def _degrid_kernel(starts_ref, ends_ref, y0_ref, x0_ref, a1_ref, a2_ref,
         rem = jax.lax.rem(x2, jnp.int32(128))
         y0a = pl.multiple_of(y0 - rr, 8)
         x2a = pl.multiple_of(x2 - rem, 128)
-        win = grid_ref[pl.ds(y0a, S + 8), pl.ds(x2a, 2 * S + 128)]
+        win = grid_ref[pl.ds(y0a, S + 8), pl.ds(x2a, _win_w(S))]
         win = pltpu.roll(pltpu.roll(win, (S + 8) - rr, 0),
-                         (2 * S + 128) - rem, 1)
+                         _win_w(S) - rem, 1)
         win = win[0:S, 0:2 * S]                            # (S, 2S) re|im
         w_re = dgr(win, pe_ref[:])
         w_im = dgr(win, po_ref[:])

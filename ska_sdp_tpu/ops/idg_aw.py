@@ -59,6 +59,20 @@ from .idg import _dft_matrix, kaiser_taper
 CHUNK_AW = 128
 
 
+def auto_fit_margin(S: int, support: int) -> int:
+    """Default taper-tail fit margin: ``S/2 − support/2 − taper(S)``.
+
+    The Kaiser taper's argument is ``x/(S/2)``, so its decay region is a
+    fixed FRACTION of the subgrid half-width — the 12-cell tail measured
+    at S=64 (round-3 FOV sweep) is 12/32 of the half-width at every
+    subgrid size.  Scaling it keeps S=32/128 at the same taper
+    attenuation (and therefore the same ≤1e-4 accuracy envelope) instead
+    of pinning an absolute cell count that leaves S=32 with no margin at
+    all.  Shared by the XLA oracle, every Pallas prep, and the dispatch
+    gates so the operator geometry is identical everywhere."""
+    return S // 2 - support // 2 - max(6, (12 * S) // 64)
+
+
 def aw_screens(akerns, S: int, dtype=jnp.complex64, fov_scale: float = 1.0):
     """Image-domain antenna screens on the S-point subgrid image grid.
 
@@ -115,7 +129,7 @@ def _record_keys(grid_shape, p, a1, a2, subgrid: int, support: int,
     S = subgrid
     s = support
     if fit_margin == 0:
-        fit_margin = S // 2 - s // 2 - 12
+        fit_margin = auto_fit_margin(S, s)
     assert fit_margin > 0, "subgrid too small for support + taper margin"
     PADM = S
     HP, WP = N + 2 * PADM, Nx + 2 * PADM
@@ -293,7 +307,7 @@ def idg_grid_aw(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
       max_runs: static bound on distinct (pair) runs (≥ number of
         baselines × A-term slots; overflow records are dropped+counted).
       fit_margin: max |uv offset| (cells) from the chunk's subgrid center
-        (0 → auto: S/2 - support/2 - 12, the taper-tail margin measured
+        (0 → auto: ``auto_fit_margin`` — the S-scaled taper-tail margin measured
         in ``tests/test_idg.py``).
 
     Returns (guv [H, W], n_dropped).
@@ -301,7 +315,7 @@ def idg_grid_aw(grid_shape, p, a1, a2, w, vis, screens, *, theta: float,
     cdt = vis.dtype
     S = subgrid
     if fit_margin == 0:
-        fit_margin = S // 2 - support // 2 - 12
+        fit_margin = auto_fit_margin(S, support)
     assert fit_margin > 0, "subgrid too small for support + taper margin"
     dy, dx, wv, vv, y0, x0, ia1, ia2, n_dropped, geom, _ = \
         _chunk_pair_runs(
@@ -389,7 +403,7 @@ def idg_degrid_aw(grid_shape, p, a1, a2, w, grid, screens, *, theta: float,
     cdt = grid.dtype
     S = subgrid
     if fit_margin == 0:
-        fit_margin = S // 2 - support // 2 - 12
+        fit_margin = auto_fit_margin(S, support)
     assert fit_margin > 0, "subgrid too small for support + taper margin"
     n = p.shape[0]
     dummy_vis = jnp.ones((n,), cdt)      # chunking only needs positions

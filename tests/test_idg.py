@@ -1624,3 +1624,99 @@ class TestPlainIDGBandedRoute:
         d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
              / np.linalg.norm(np.asarray(want)))
         assert d < 5e-5, d
+
+class TestIDGAWSubgridEnvelope:
+    """VERDICT r4 #8: the streamed/banded kernel family past subgrid 64.
+    The kernels are S-generic (window lane width ``_win_w(S)`` and the
+    S-scaled ``auto_fit_margin`` carry the geometry); S=32 and S=128 are
+    verified here against the XLA oracle (identical operator — shared
+    ``_record_keys`` geometry), and ``scripts/tpu_smoke.py`` asserts the
+    same parity on real hardware (lowering coverage)."""
+
+    def _screens(self, rng, nant, S):
+        from ska_sdp_tpu.ops.idg_aw import aw_screens
+
+        s = 9
+        ak = np.zeros((nant, s, s), np.complex64)
+        ak[:, s // 2, s // 2] = 1.0
+        c = s // 2
+        ak[:, c - 1:c + 2, c - 1:c + 2] += 0.1 * (
+            rng.standard_normal((nant, 3, 3))
+            + 1j * rng.standard_normal((nant, 3, 3))).astype(np.complex64)
+        return aw_screens(jnp.asarray(ak), S, dtype=jnp.complex64)
+
+    @pytest.mark.parametrize("S2,support", [(32, 9), (128, 15)])
+    def test_stream_grid_matches_oracle(self, rng, S2, support):
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            idg_aw_gridder_stream)
+        from ska_sdp_tpu.ops.idg_aw import idg_grid_aw
+
+        nant = 5
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=nant, ntime=48)
+        scr = self._screens(rng, nant, S2)
+        mr = 16 * nbl + p.shape[0] // 64 + 64
+        got, nd = idg_aw_gridder_stream(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+            jnp.asarray(vis, jnp.complex64), scr, theta=THETA,
+            subgrid=S2, support=support, max_runs=mr, interpret=True)
+        want, nd_o = idg_grid_aw(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32),
+            jnp.asarray(vis, jnp.complex64), scr, theta=THETA,
+            subgrid=S2, support=support, max_runs=mr)
+        assert int(nd) == int(nd_o) == 0
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, (S2, d)
+
+    @pytest.mark.parametrize("S2,support", [(32, 9)])
+    def test_stream_degrid_matches_oracle(self, rng, S2, support):
+        from ska_sdp_tpu.kernels.idg_aw_stream_pallas import (
+            idg_aw_degridder_stream)
+        from ska_sdp_tpu.ops.idg_aw import idg_degrid_aw
+
+        nant = 5
+        p, w, a1, a2, vis, nbl = _track_problem(rng, nant=nant, ntime=48)
+        scr = self._screens(rng, nant, S2)
+        mr = 16 * nbl + p.shape[0] // 64 + 64
+        grid = jnp.asarray(
+            (rng.standard_normal((N, N))
+             + 1j * rng.standard_normal((N, N))).astype(np.complex64))
+        got, nd = idg_aw_degridder_stream(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32), grid, scr,
+            theta=THETA, subgrid=S2, support=support, max_runs=mr,
+            interpret=True)
+        want, nd_o = idg_degrid_aw(
+            (N, N), jnp.asarray(p, jnp.float32), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(w, jnp.float32), grid, scr,
+            theta=THETA, subgrid=S2, support=support, max_runs=mr)
+        assert int(nd) == int(nd_o) == 0
+        d = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+             / np.linalg.norm(np.asarray(want)))
+        assert d < 5e-5, (S2, d)
+
+    def test_dispatch_accepts_s32_and_gates_fit_floor(self):
+        from ska_sdp_tpu.kernels import _idg_unit_run_bound
+        from ska_sdp_tpu.kernels.idg_aw_pallas import (
+            _geometry, _win_w, idg_aw_resident_fits)
+        from ska_sdp_tpu.ops.idg_aw import auto_fit_margin
+
+        # S-scaled taper margin: same fraction of the half-width
+        assert auto_fit_margin(64, 15) == 13          # unchanged (r3)
+        assert auto_fit_margin(32, 9) == 6
+        assert auto_fit_margin(128, 15) == 33
+        # S=64 geometry bit-identical to the round-4 constants
+        ref_hp = ((2400 + 128 + 7) // 8) * 8 + 8
+        ref_wp2 = -(-2 * (2400 + 128) // 128) * 128 + 128
+        assert _geometry(2400, 2400, 64) == (ref_hp, ref_wp2)
+        assert _win_w(32) == 256 and _win_w(64) == 256
+        assert _win_w(128) == 384
+        assert idg_aw_resident_fits(N, N, 4, 32)
+        assert idg_aw_resident_fits(N, N, 4, 128)
+        assert not idg_aw_resident_fits(N, N, 4, 48)  # outside envelope
+        # plain-IDG unit-run route: margin < 5 (S=32 + support 15 would
+        # drop in-bounds records the fixed-tile kernels keep) is gated
+        assert _idg_unit_run_bound((N, N), 32, 15) is None
+        assert _idg_unit_run_bound((N, N), 32, 9) is not None
